@@ -1,0 +1,228 @@
+"""The flagship pipeline: parse → enrich → route → dedup → sort → write + aggregate.
+
+The Ray-Data-native re-expression of the reference's telemetry → topology-stream →
+Kafka path (reference: test/e2e/templates/collector-config.yaml.tmpl:31-46 wiring;
+connector/topologyconnector/internal/pipeline.go:102-150 core loop;
+message_builder.go:259-263 shard keying; SURVEY.md §3.1):
+
+    read_parquet (pruned columns)
+      → map_batches(parse)                 zero-copy Arrow regex extraction
+      → map_batches(EnrichActor, pool)     broadcast lookup tables, once per actor
+      → map_batches(Router, pool)          compiled ruleset fan-out + error rows
+      → dedup (bucketed first-wins)        projection-hash gate
+      → sort(sink, conv_id, turn_idx, data_source)
+      → write_parquet(part=<pid>/, partition_cols=[sink])
+      + sink_counts partials → per-partition parquet, merged once at the end
+      + per-partition lineage manifest     idempotent resume
+
+Scale contract: the run is divided into input-file partitions processed as independent
+streaming sub-pipelines (each one bounded by the object store, spilling as needed);
+a partition is the unit of checkpointing AND the unit of ordering — per-conversation
+turn order is guaranteed within a partition, mirroring the reference's per-Kafka-
+partition ordering guarantee (message_builder.go:196-203). Writers should therefore
+cluster a conversation's files into one partition at 100 TB (the corpus generator
+does; any conv-keyed layout works).
+
+Skew note: the aggregate uses per-batch combiners (stages/aggregate.py), so hot
+conversations never concentrate on one reducer; the sort is a range shuffle over
+(sink, conv_id, turn_idx), where Ray's sort splits oversized ranges — hot conv_ids
+spread across boundaries instead of hitting one task ("salting" is subsumed by
+range-splitting on the composite key).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..rules.model import CompiledRule, default_ruleset
+from ..stages.aggregate import sink_counts
+from ..stages.dedup import dedup_first_wins
+from ..stages.enrich import enrich_stage
+from ..stages.parse import parse_stage
+from ..stages.route import route_stage
+from ..state.manifest import (
+    fingerprint_files,
+    load_manifest,
+    ruleset_fingerprint,
+    write_manifest,
+)
+
+SORT_KEY = ["sink", "conv_id", "turn_idx", "data_source"]
+
+
+@dataclass
+class FlagshipResult:
+    out_dir: str
+    partitions_total: int = 0
+    partitions_skipped: int = 0
+    routed_rows: int = 0
+    error_rows: int = 0
+    sink_rows: dict = field(default_factory=dict)
+    wall_sec: float = 0.0
+
+
+def routed_dataset(
+    ds: "ray.data.Dataset",
+    rules: list[CompiledRule] | None = None,
+    enrich_concurrency: int = 4,
+    route_concurrency: int = 4,
+    dedup: bool = True,
+) -> "ray.data.Dataset":
+    """parse → enrich → route (→ dedup) as one lazy Dataset (no writes)."""
+    out = route_stage(
+        enrich_stage(parse_stage(ds), concurrency=enrich_concurrency),
+        rules=rules,
+        concurrency=route_concurrency,
+    )
+    if dedup:
+        out = dedup_first_wins(out)
+    return out
+
+
+def _chunk(files: list[str], n_parts: int) -> list[list[str]]:
+    n_parts = max(1, min(n_parts, len(files)))
+    size = (len(files) + n_parts - 1) // n_parts
+    return [files[i : i + size] for i in range(0, len(files), size)]
+
+
+def flagship_run(
+    input_dir: str,
+    out_dir: str,
+    rules: list[CompiledRule] | None = None,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+    enrich_concurrency: int = 4,
+    route_concurrency: int = 4,
+    sort_output: bool = True,
+    max_partitions: int | None = None,  # test hook: stop after k (simulated failure)
+) -> FlagshipResult:
+    t0 = time.time()
+    rules = rules if rules is not None else default_ruleset()
+    rfp = ruleset_fingerprint(rules)
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    parts = _chunk(files, num_partitions or max(1, len(files) // 4))
+    result = FlagshipResult(out_dir=out_dir, partitions_total=len(parts))
+    os.makedirs(out_dir, exist_ok=True)
+
+    for pid, part_files in enumerate(parts):
+        if max_partitions is not None and pid >= max_partitions:
+            break
+        ifp, entries = fingerprint_files(part_files)
+        m = load_manifest(out_dir, pid)
+        if m and m.get("input_fingerprint") == ifp and m.get("ruleset_fingerprint") == rfp:
+            result.partitions_skipped += 1
+            _tally(result, m)
+            continue
+        pm = _run_partition(
+            pid, part_files, out_dir, rules,
+            dedup=dedup, sort_output=sort_output,
+            enrich_concurrency=enrich_concurrency,
+            route_concurrency=route_concurrency,
+        )
+        pm.update(input_fingerprint=ifp, ruleset_fingerprint=rfp, input_files=entries)
+        write_manifest(out_dir, pid, pm)
+        _tally(result, pm)
+
+    _merge_aggregates(out_dir, len(parts), max_partitions)
+    result.wall_sec = time.time() - t0
+    return result
+
+
+def _tally(result: FlagshipResult, manifest: dict) -> None:
+    result.routed_rows += manifest.get("routed_rows", 0)
+    result.error_rows += manifest.get("error_rows", 0)
+    for sink, n in manifest.get("sink_rows", {}).items():
+        result.sink_rows[sink] = result.sink_rows.get(sink, 0) + n
+
+
+def _run_partition(
+    pid: int,
+    files: list[str],
+    out_dir: str,
+    rules,
+    dedup: bool,
+    sort_output: bool,
+    enrich_concurrency: int,
+    route_concurrency: int,
+) -> dict:
+    t0 = time.time()
+    part_dir = os.path.join(out_dir, f"part-{pid:05d}")
+    ds = ray.data.read_parquet(files)
+    routed = routed_dataset(
+        ds, rules,
+        enrich_concurrency=enrich_concurrency,
+        route_concurrency=route_concurrency,
+        dedup=dedup,
+    )
+    if sort_output:
+        routed = routed.sort(SORT_KEY)
+    t_route = time.time()
+    routed.write_parquet(
+        os.path.join(part_dir, "routed"), partition_cols=["sink"], mode="overwrite"
+    )
+    t_write = time.time()
+
+    # Per-partition aggregate partials + per-sink/error counts from the written
+    # output (reading the fresh parquet back is cheap and avoids re-executing the
+    # routed pipeline a second time for metrics).
+    written = ray.data.read_parquet(os.path.join(part_dir, "routed"))
+    agg = sink_counts(written)
+    agg.write_parquet(os.path.join(part_dir, "agg_counts"), mode="overwrite")
+    agg_tbl = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(os.path.join(part_dir, "agg_counts", "*.parquet"))]
+    )
+    sink_rows: dict[str, int] = {}
+    for row in agg_tbl.to_pylist():
+        sink_rows[row["sink"]] = sink_rows.get(row["sink"], 0) + row["n"]
+    err_rows = int(
+        written.map_batches(
+            lambda t: pa.table({"n": [t.filter(pa.compute.is_valid(t["error"])).num_rows]}),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+    t_agg = time.time()
+    return {
+        "pid": pid,
+        "routed_rows": int(sum(sink_rows.values())),
+        "error_rows": err_rows,
+        "sink_rows": sink_rows,
+        "stage_wall_sec": {
+            "route_sort_write": round(t_write - t0, 3),
+            "plan": round(t_route - t0, 3),
+            "aggregate": round(t_agg - t_write, 3),
+        },
+    }
+
+
+def _merge_aggregates(out_dir: str, n_parts: int, max_partitions: int | None) -> None:
+    """Final tiny reduce: sum the per-partition partials into agg_counts/."""
+    import duckdb
+
+    limit = n_parts if max_partitions is None else min(n_parts, max_partitions)
+    partial_glob = [
+        os.path.join(out_dir, f"part-{pid:05d}", "agg_counts", "*.parquet")
+        for pid in range(limit)
+        if glob.glob(os.path.join(out_dir, f"part-{pid:05d}", "agg_counts", "*.parquet"))
+    ]
+    if not partial_glob:
+        return
+    con = duckdb.connect()
+    files = [f for g in partial_glob for f in glob.glob(g)]
+    tbl = con.execute(
+        "SELECT sink, role, tool, CAST(SUM(n) AS BIGINT) AS n "
+        "FROM read_parquet($files) GROUP BY ALL ORDER BY sink, role, tool",
+        {"files": files},
+    ).arrow()
+    final_dir = os.path.join(out_dir, "agg_counts")
+    os.makedirs(final_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(final_dir, "agg_counts.parquet"))

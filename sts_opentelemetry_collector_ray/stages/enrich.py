@@ -1,0 +1,89 @@
+"""Enrichment stage — actor pool holding lookup tables in memory.
+
+The analogue of the reference's k8sattributes / resource-attribute enrichment: a
+per-record lookup against a dimension table held in process memory (reference:
+test/validate/configs/telemetry-gateway.yaml:48-75 — k8sattributes pod lookup;
+receiver/k8sresourcereceiver/resource_attribute_enrichment.go:33-120 — value watchers
+stamping attributes on every emission).
+
+Ray translation: a callable CLASS passed to ``map_batches(cls, concurrency=N)`` — the
+lookup tables are fetched from the object store ONCE per actor in ``__init__``
+(broadcast with ``ray.put`` on the driver: one copy in the object store regardless of
+pool size, never re-shipped per batch), and each ``__call__`` applies them vectorized
+with pandas categorical-map kernels.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+# Default dimension tables (FIXTURES.md F3). Small (≤100 rows) — broadcast, never joined.
+TOOL_INFO: dict[str, tuple[str, str]] = {
+    "search": ("retrieval", "team-search"),
+    "bash": ("exec", "team-infra"),
+    "browser": ("web", "team-web"),
+    "python": ("exec", "team-infra"),
+    "editor": ("exec", "team-devx"),
+}
+ROLE_CLASS: dict[str, str] = {
+    "user": "human",
+    "assistant": "model",
+    "tool": "machine",
+    "system": "control",
+}
+
+
+class EnrichActor:
+    """Stateful enrichment: dict lookups resolved once per actor.
+
+    Accepts either plain dicts or ``ray.ObjectRef``s (the broadcast pattern) for both
+    tables; refs are ``ray.get``-resolved in ``__init__`` — zero per-batch transfers.
+    """
+
+    def __init__(self, tool_info=None, role_class=None):
+        if isinstance(tool_info, ray.ObjectRef):
+            tool_info = ray.get(tool_info)
+        if isinstance(role_class, ray.ObjectRef):
+            role_class = ray.get(role_class)
+        tool_info = tool_info if tool_info is not None else TOOL_INFO
+        self.role_class = role_class if role_class is not None else ROLE_CLASS
+        self.tool_category = {k: v[0] for k, v in tool_info.items()}
+        self.owner_team = {k: v[1] for k, v in tool_info.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tool = pd.Series(batch["tool"].to_numpy(zero_copy_only=False))
+        role = pd.Series(batch["role"].to_numpy(zero_copy_only=False))
+        out = batch.append_column(
+            "tool_category",
+            pa.array(tool.map(self.tool_category).fillna("none"), pa.string()),
+        )
+        out = out.append_column(
+            "owner_team", pa.array(tool.map(self.owner_team).fillna("none"), pa.string())
+        )
+        out = out.append_column(
+            "role_class",
+            pa.array(role.map(self.role_class).fillna("unknown"), pa.string()),
+        )
+        return out
+
+
+def enrich_stage(
+    ds: "ray.data.Dataset",
+    tool_info=None,
+    role_class=None,
+    concurrency: int = 4,
+    batch_size: int = 32_768,
+) -> "ray.data.Dataset":
+    # num_cpus=0.5: the pool must not reserve every core or the read/sort/write
+    # stages starve and the pipeline serializes (enrichment is a cheap dict map).
+    return ds.map_batches(
+        EnrichActor,
+        fn_constructor_kwargs={"tool_info": tool_info, "role_class": role_class},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -1,0 +1,195 @@
+"""Stage-level tests on tiny Arrow tables (SURVEY.md §5 translation: table-driven unit
+tests per operator — parse, enrich, route incl. regex tags / DELETE / error rows,
+dedup, aggregate)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sts_opentelemetry_collector_ray.functions import fnv1a32
+from sts_opentelemetry_collector_ray.rules.model import (
+    ComponentRule,
+    RegexTagMapping,
+    RelationRule,
+    default_ruleset,
+)
+from sts_opentelemetry_collector_ray.stages.enrich import EnrichActor
+from sts_opentelemetry_collector_ray.stages.parse import parse_batch
+from sts_opentelemetry_collector_ray.stages.route import Router
+
+
+def turns_table(rows):
+    cols = {
+        "conv_id": [r.get("conv_id", "c0") for r in rows],
+        "turn_idx": pa.array([r.get("turn_idx", i) for i, r in enumerate(rows)], pa.int32()),
+        "role": [r.get("role", "user") for r in rows],
+        "text": [r.get("text", "") for r in rows],
+        "tool": [r.get("tool", "") for r in rows],
+        "ts": pa.array([r.get("ts") for r in rows], pa.timestamp("us")),
+    }
+    return pa.table(cols)
+
+
+def test_parse_severity_and_sig():
+    t = turns_table(
+        [
+            {"text": "[ERROR] boom k=7 call:bash(q7)"},
+            {"text": "session start k=1"},
+            {"text": "[WARN] view k=2 attr.env=prod attr.zone=z1"},
+        ]
+    )
+    p = parse_batch(t)
+    assert p["severity"].to_pylist() == ["ERROR", "UNKNOWN", "WARN"]
+    assert p["tool_sig"].to_pylist() == ["call:bash(q7)", None, None]
+    assert p["tool_name"].to_pylist() == ["bash", None, None]
+    attrs = p["attrs"].to_pylist()
+    assert attrs[0] is None
+    assert dict(attrs[2]) == {"attr.env": "prod", "attr.zone": "z1"}
+    # null ts coalesced to the fixed processing instant (signal_traverser.go:111-119)
+    assert p["ts_eff"].to_pylist()[0] is not None
+
+
+def test_enrich_lookups():
+    t = turns_table([{"tool": "bash", "role": "tool"}, {"tool": "", "role": "user"}])
+    out = EnrichActor()(t)
+    assert out["tool_category"].to_pylist() == ["exec", "none"]
+    assert out["owner_team"].to_pylist() == ["team-infra", "none"]
+    assert out["role_class"].to_pylist() == ["machine", "human"]
+
+
+def _routed(rows, rules):
+    batch = EnrichActor()(parse_batch(turns_table(rows)))
+    return Router(rules=rules)(batch)
+
+
+def test_route_condition_and_shard():
+    rules = [
+        ComponentRule(
+            identifier="m1",
+            sink="s1",
+            condition="severity == 'ERROR'",
+            identifier_expr="'urn:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out = _routed(
+        [
+            {"text": "[ERROR] x", "conv_id": "c1", "turn_idx": 0},
+            {"text": "[INFO] y", "conv_id": "c1", "turn_idx": 1},
+        ],
+        rules,
+    )
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["external_id"] == "urn:c1/0"
+    assert row["shard_id"] == str(fnv1a32("urn:c1/0") % 4)
+    assert row["action"] == "CREATE"
+    assert row["error"] is None
+
+
+def test_route_error_rows_required_vs_optional():
+    # required identifier fails ⇒ error row with shard 'unknown' (message_builder.go:66-70);
+    # optional name fails ⇒ null, no error (mapping.go:348-359)
+    rules = [
+        ComponentRule(
+            identifier="m-bad",
+            sink="s",
+            identifier_expr="'u:' + nonexistent_col",
+            type_name_expr="'t'",
+        ).compile(),
+        ComponentRule(
+            identifier="m-optional",
+            sink="s",
+            identifier_expr="'u:' + conv_id",
+            name_expr="'n:' + nonexistent_col",
+            type_name_expr="'t'",
+        ).compile(),
+    ]
+    out = _routed([{"text": "[INFO] x"}], rules).to_pylist()
+    bad = [r for r in out if r["data_source"] == "m-bad"][0]
+    assert bad["shard_id"] == "unknown" and bad["error"] is not None
+    assert bad["external_id"] is None and bad["dedup_key"] is None
+    opt = [r for r in out if r["data_source"] == "m-optional"][0]
+    assert opt["error"] is None and opt["name"] is None
+    assert opt["external_id"] == "u:c0"
+
+
+def test_route_delete_action():
+    rules = [
+        ComponentRule(
+            identifier="m-del",
+            sink="s",
+            condition="severity == 'UNKNOWN'",
+            action="DELETE",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out = _routed([{"text": "no tokens"}, {"text": "[INFO] x"}], rules).to_pylist()
+    assert len(out) == 1
+    assert out[0]["action"] == "DELETE"
+    assert out[0]["dedup_key"] is None  # DELETE is not dedup-gated
+
+
+def test_route_regex_tags():
+    rules = [
+        ComponentRule(
+            identifier="m-tags",
+            sink="s",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+            regex_tags=[
+                RegexTagMapping(source="attrs", pattern=r"^attr\.(.+)$", target="t.${1}")
+            ],
+        ).compile()
+    ]
+    out = _routed([{"text": "[INFO] x attr.env=prod attr.zone=z2"}], rules).to_pylist()
+    tags = json.loads(out[0]["tags"])
+    assert tags == {"t.env": "prod", "t.zone": "z2"}
+
+
+def test_route_relation_rule():
+    rules = [
+        RelationRule(
+            identifier="m-rel",
+            sink="rel",
+            condition="tool != ''",
+            source_id_expr="'urn:conv/' + conv_id",
+            target_id_expr="'urn:tool/' + tool",
+            type_name_expr="'uses'",
+            dependency_type_expr="' connection '",  # normalize (mapping.go:280-292)
+        ).compile()
+    ]
+    out = _routed([{"text": "[INFO] x", "tool": "bash"}], rules).to_pylist()
+    r = out[0]
+    assert r["source_id"] == "urn:conv/c0"
+    assert r["target_id"] == "urn:tool/bash"
+    assert r["external_id"] == "urn:conv/c0-urn:tool/bash"
+    assert r["dependency_type"] == "CONNECTION"
+
+
+def test_route_fanout_multiplication():
+    # one turn matching 2+ rules fans out to multiple routed rows
+    out = _routed([{"text": "[ERROR] x", "role": "tool", "tool": "bash"}], default_ruleset())
+    sinks = sorted(set(out["sink"].to_pylist()))
+    assert "logs_all" in sinks and "logs_errors" in sinks and "metrics_tools" in sinks
+    assert "topology_relations" in sinks
+
+
+def test_dedup_key_projection_insensitive_to_unreferenced_cols():
+    # dedup key covers ONLY referenced fields (deduplicator_test.go:17-245 analogue):
+    # changing `text` (unreferenced) must not change the key; changing severity must.
+    rule = ComponentRule(
+        identifier="m-dd",
+        sink="s",
+        condition="severity == 'ERROR'",
+        identifier_expr="'u:' + severity",
+        type_name_expr="'t'",
+    ).compile()
+    a = _routed([{"text": "[ERROR] one", "conv_id": "cX"}], [rule]).to_pylist()[0]
+    b = _routed([{"text": "[ERROR] two totally different", "conv_id": "cX"}], [rule]).to_pylist()[0]
+    assert a["dedup_key"] == b["dedup_key"]
+    assert rule.referenced_columns == {"severity"}
