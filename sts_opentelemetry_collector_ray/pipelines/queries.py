@@ -1,0 +1,343 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+Each public function here backs one ``__ray_entry__.queries()`` entry and has a
+matching ANSI-SQL oracle in ``ORACLES`` (DuckDB over the driver's pre-registered
+views). Column names and types match between the Ray pipeline and the SQL exactly —
+the driver sorts columns by name and value-hashes.
+
+The transcript family runs over the deterministic events→transcripts derivation
+(sources/transcripts.py) so the reference semantics — regex parse, rule fan-out with
+FNV-1a32 sharding, projection dedup, per-sink aggregate counts — all get value-level
+oracles. FNV-1a32 is re-expressed in SQL via ``list_reduce`` over code points
+(external ids are ASCII) and matches the engine's vectorized kernel bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    derive_transcripts_from_events,
+)
+from ..stages.aggregate import sink_counts
+from ..stages.enrich import ROLE_CLASS, TOOL_INFO, enrich_stage
+from ..stages.parse import parse_stage
+from ..stages.route import route_stage
+from ..pipelines.flagship import routed_dataset
+
+# --------------------------------------------------------------------------
+# SQL building blocks
+# --------------------------------------------------------------------------
+
+# fnv1a32(s) % 4 as VARCHAR — byte-exact vs functions/hashing.py for ASCII input.
+_FNV_SHARD = (
+    "CAST(list_reduce(list_prepend(2166136261::BIGINT, "
+    "list_transform(string_split({col}, ''), c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 4 AS VARCHAR)"
+)
+
+_PARSED_SQL = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """,
+parsed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         coalesce(nullif(regexp_extract(text, '^\\[([A-Z]+)\\]', 1), ''), 'UNKNOWN') AS severity,
+         nullif(regexp_extract(text, 'call:([a-z]+)\\(([^)]*)\\)', 0), '') AS tool_sig,
+         nullif(regexp_extract(text, 'call:([a-z]+)\\(([^)]*)\\)', 1), '') AS tool_name,
+         nullif(regexp_extract(text, 'call:([a-z]+)\\(([^)]*)\\)', 2), '') AS call_arg
+  FROM transcripts
+)
+"""
+)
+
+_ROUTES_SQL = (
+    _PARSED_SQL
+    + """,
+routes AS (
+  SELECT 'logs_all' AS sink, 'urn:mapping:all-turns' AS data_source, 'CREATE' AS action,
+         'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS external_id,
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed
+  UNION ALL
+  SELECT 'logs_errors', 'urn:mapping:error-turns', 'CREATE',
+         'urn:conv/' || conv_id || ':turn/' || CAST(turn_idx AS VARCHAR),
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE severity = 'ERROR'
+  UNION ALL
+  SELECT 'metrics_tools', 'urn:mapping:tool-calls', 'CREATE',
+         'urn:tool/' || tool || '/call/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE tool <> '' AND role = 'tool'
+  UNION ALL
+  SELECT 'logs_diag', 'urn:mapping:diag-turns', 'CREATE',
+         'urn:diag/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE severity IN ('WARN', 'DEBUG')
+  UNION ALL
+  SELECT 'topology_relations', 'urn:mapping:conv-uses-tool', 'CREATE',
+         'urn:conv/' || conv_id || '-urn:tool/' || tool,
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE tool <> ''
+  UNION ALL
+  SELECT 'logs_all', 'urn:mapping:session-delete', 'DELETE',
+         'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE severity = 'UNKNOWN'
+  UNION ALL
+  SELECT 'logs_errors', 'urn:mapping:bad-required', 'CREATE',
+         NULL, conv_id, turn_idx, role, tool, severity, text
+  FROM parsed WHERE severity = 'ERROR'
+)
+"""
+)
+
+_ROUTED_COLS = [
+    "sink", "data_source", "action", "external_id", "shard_id",
+    "conv_id", "turn_idx", "role", "tool", "severity", "text",
+]
+
+
+def _sql_case(col: str, mapping: dict[str, str], default: str) -> str:
+    arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE {col} {arms} ELSE '{default}' END"
+
+
+# --------------------------------------------------------------------------
+# Ray-side queries
+# --------------------------------------------------------------------------
+
+def q_transcripts_derive(sf_dir: str):
+    """events → transcript table (windowed row_number per conversation)."""
+    return derive_transcripts_from_events(sf_dir)
+
+
+def q_parse_extract(sf_dir: str):
+    ds = parse_stage(derive_transcripts_from_events(sf_dir))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "severity", "tool_sig", "tool_name", "call_arg"]
+    )
+
+
+def q_enrich_lookup(sf_dir: str):
+    ds = enrich_stage(
+        parse_stage(derive_transcripts_from_events(sf_dir)), concurrency=2
+    )
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "tool_category", "owner_team", "role_class"]
+    )
+
+
+def q_route_fanout(sf_dir: str):
+    ds = routed_dataset(
+        derive_transcripts_from_events(sf_dir),
+        dedup=False,
+        enrich_concurrency=2,
+        route_concurrency=2,
+    )
+    return ds.select_columns(_ROUTED_COLS)
+
+
+def q_agg_counts(sf_dir: str):
+    ds = routed_dataset(
+        derive_transcripts_from_events(sf_dir),
+        dedup=False,
+        enrich_concurrency=2,
+        route_concurrency=2,
+    )
+    return sink_counts(ds)
+
+
+def q_dedup_relations(sf_dir: str):
+    """Projection dedup: relation rows collapse to first turn per (conv, tool)."""
+    ds = routed_dataset(
+        derive_transcripts_from_events(sf_dir),
+        dedup=True,
+        enrich_concurrency=2,
+        route_concurrency=2,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t["data_source"], "urn:mapping:conv-uses-tool")
+        return t.filter(m).select(["conv_id", "turn_idx", "tool", "external_id"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# -- TPC-H-ish operator demos ----------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    """Grouped aggregation with combiner (A1/A2 analogue) over lineitem."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base": t["l_extendedprice"],
+                "disc_price": disc_price,
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="s_qty"),
+        Sum("p_base", alias_name="s_base"),
+        Sum("p_disc", alias_name="s_disc"),
+        Sum("p_n", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["s_qty"], 2),
+                "sum_base_price": pc.round(t["s_base"], 2),
+                "sum_disc_price": pc.round(t["s_disc"], 2),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_orders_topk(sf_dir: str):
+    """sort + limit + broadcast join (customer is the small side)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    lookup = dict(zip(cust["c_custkey"], cust["c_name"]))
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_name"] = df["o_custkey"].map(lookup)
+        return df[["o_orderkey", "o_totalprice", "c_name"]]
+
+    return top.map_batches(join, batch_format="pandas")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (event_type, hour bucket)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        )
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pa.array(hour, pa.int64()),
+                "value": t["value"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t2.group_by(["event_type", "hour"]).aggregate([("value", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "hour", "p_val", "p_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("p_val", alias_name="s_val"), Sum("p_n", alias_name="n")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": t["hour"],
+                "sum_value": pc.round(t["s_val"], 2),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+# --------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "transcripts_derive": _PARSED_SQL
+    + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+    "parse_extract": _PARSED_SQL
+    + "SELECT conv_id, turn_idx, severity, tool_sig, tool_name, call_arg FROM parsed",
+    "enrich_lookup": _PARSED_SQL
+    + f"""SELECT conv_id, turn_idx,
+       {_sql_case('tool', {k: v[0] for k, v in TOOL_INFO.items()}, 'none')} AS tool_category,
+       {_sql_case('tool', {k: v[1] for k, v in TOOL_INFO.items()}, 'none')} AS owner_team,
+       {_sql_case('role', ROLE_CLASS, 'unknown')} AS role_class
+FROM parsed""",
+    "route_fanout": _ROUTES_SQL
+    + f"""SELECT sink, data_source, action, external_id,
+       CASE WHEN external_id IS NULL THEN 'unknown'
+            ELSE {_FNV_SHARD.format(col='external_id')} END AS shard_id,
+       conv_id, turn_idx, role, tool, severity, text
+FROM routes""",
+    "agg_counts": _ROUTES_SQL
+    + "SELECT sink, role, tool, count(*) AS n FROM routes GROUP BY sink, role, tool",
+    "dedup_relations": _PARSED_SQL
+    + """SELECT conv_id, min(turn_idx) AS turn_idx, tool,
+       'urn:conv/' || conv_id || '-urn:tool/' || tool AS external_id
+FROM parsed WHERE tool <> '' GROUP BY conv_id, tool""",
+    "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "orders_topk": """
+SELECT o_orderkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "events_hourly": """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2""",
+}
+
+QUERIES = {
+    "transcripts_derive": q_transcripts_derive,
+    "parse_extract": q_parse_extract,
+    "enrich_lookup": q_enrich_lookup,
+    "route_fanout": q_route_fanout,
+    "agg_counts": q_agg_counts,
+    "dedup_relations": q_dedup_relations,
+    "q1_pricing": q_q1_pricing,
+    "orders_topk": q_orders_topk,
+    "events_hourly": q_events_hourly,
+}
