@@ -20,18 +20,22 @@ def entry() -> Any:
     from sts_opentelemetry_collector_ray.sources import derive_transcripts_from_events
 
     ds = derive_transcripts_from_events("/root/testdata/sf0.001")
-    return routed_dataset(ds, dedup=True, enrich_concurrency=2, route_concurrency=2)
+    return routed_dataset(ds, dedup=True, enrich_concurrency=2, route_concurrency=None)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from sts_opentelemetry_collector_ray.pipelines.queries import QUERIES
+    from sts_opentelemetry_collector_ray.pipelines.queries2 import QUERIES2
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES2}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (same column names and types)."""
+    """DuckDB-equivalent SQL per query (same column names and types). Queries
+    absent here (LSH/heuristic operators) get the driver's rows-only check; their
+    brute-force oracles live in tests/."""
     from sts_opentelemetry_collector_ray.pipelines.queries import ORACLES
+    from sts_opentelemetry_collector_ray.pipelines.queries2 import ORACLES2
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES2}

@@ -20,3 +20,29 @@ vectorized `map_batches` over zero-copy Arrow batches:
 
 SHARD_COUNT = 4  # reference: connector/topologyconnector/internal/message_builder.go:14-19
 ENVELOPE_MAX_BYTES = 768 * 1024  # message_builder.go:162-171
+
+
+def _stub_fsspec_http() -> None:
+    """Ray Data's path resolution imports ``fsspec.implementations.http`` on every
+    read/write plan. Without aiohttp that import always fails — harmless alone
+    (ModuleNotFoundError is caught), but concurrent plans (overlapped partition
+    pipelines) re-execute the failing import in parallel and surface a plain
+    ImportError that Ray does not catch. Pre-seeding a stub module with a dummy
+    HTTPFileSystem makes the import succeed; Ray only isinstance-checks against
+    it, which is correctly False for every real filesystem here."""
+    import sys
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import types
+
+        mod = types.ModuleType(name)
+        mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules[name] = mod
+
+
+_stub_fsspec_http()

@@ -90,3 +90,49 @@ def fnv1a64_array(values) -> np.ndarray:
 def shard_id_array(external_ids, shard_count: int = 4) -> np.ndarray:
     """``fnv1a32(external_id) % shard_count`` as int32 (message_builder.go:259-263)."""
     return (fnv1a32_array(external_ids) % np.uint64(shard_count)).astype(np.int32)
+
+
+def _arrow_string_bytes(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data uint8, starts, lens) views over an Arrow string array's buffers —
+    zero-copy access to the UTF-8 bytes, no per-row materialization."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    return data, starts, lens
+
+
+def _fnv_arrow(arr: "pa.Array", offset: np.uint64, prime: np.uint64, mask) -> np.ndarray:
+    data, starts, lens = _arrow_string_bytes(arr)
+    n = len(starts)
+    acc = np.full(n, offset, dtype=np.uint64)
+    if n == 0:
+        return acc
+    width = int(lens.max()) if n else 0
+    guard = max(len(data) - 1, 0)
+    with np.errstate(over="ignore"):
+        for pos in range(width):
+            live = pos < lens
+            idx = np.minimum(starts + pos, guard)
+            b = data[idx].astype(np.uint64) if len(data) else np.zeros(n, np.uint64)
+            nxt = (acc ^ b) * prime
+            if mask is not None:
+                nxt &= mask
+            acc = np.where(live, nxt, acc)
+    return acc
+
+
+def fnv1a32_arrow(arr: "pa.Array") -> np.ndarray:
+    """Vectorized FNV-1a32 straight off Arrow string buffers (zero-copy)."""
+    return _fnv_arrow(arr, _FNV32_OFFSET, _FNV32_PRIME, _FNV32_MASK)
+
+
+def fnv1a64_arrow(arr: "pa.Array") -> np.ndarray:
+    return _fnv_arrow(arr, _FNV64_OFFSET, _FNV64_PRIME, None)

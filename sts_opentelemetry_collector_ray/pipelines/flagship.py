@@ -17,11 +17,17 @@ message_builder.go:259-263 shard keying; SURVEY.md §3.1):
 
 Scale contract: the run is divided into input-file partitions processed as independent
 streaming sub-pipelines (each one bounded by the object store, spilling as needed);
-a partition is the unit of checkpointing AND the unit of ordering — per-conversation
-turn order is guaranteed within a partition, mirroring the reference's per-Kafka-
-partition ordering guarantee (message_builder.go:196-203). Writers should therefore
-cluster a conversation's files into one partition at 100 TB (the corpus generator
-does; any conv-keyed layout works).
+a partition is the unit of checkpointing, of ordering AND of dedup scope:
+
+- per-conversation turn order is guaranteed within a partition, mirroring the
+  reference's per-Kafka-partition ordering guarantee (message_builder.go:196-203);
+- dedup suppression is exact within a partition and best-effort across partitions —
+  faithfully mirroring the reference, whose dedup cache is per collector INSTANCE
+  and TTL'd (deduplicator.go:52-205): duplicates across replicas/expiry windows are
+  expected there and downstream consumers upsert idempotently. A conv-clustered
+  input layout (one conversation per partition) makes conv-scoped dedup globally
+  exact; `routed_dataset(dedup=True)` on an unpartitioned Dataset is the
+  globally-exact variant.
 
 Skew note: the aggregate uses per-batch combiners (stages/aggregate.py), so hot
 conversations never concentrate on one reducer; the sort is a range shuffle over
@@ -41,9 +47,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+
 from ..rules.model import CompiledRule, default_ruleset
-from ..stages.aggregate import sink_counts
-from ..stages.dedup import dedup_first_wins
+from ..stages.dedup import finalize_routed
 from ..stages.enrich import enrich_stage
 from ..stages.parse import parse_stage
 from ..stages.route import route_stage
@@ -72,17 +78,17 @@ def routed_dataset(
     ds: "ray.data.Dataset",
     rules: list[CompiledRule] | None = None,
     enrich_concurrency: int = 4,
-    route_concurrency: int = 4,
+    route_concurrency: int | None = None,
     dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """parse → enrich → route (→ dedup) as one lazy Dataset (no writes)."""
+    """parse → enrich → route (→ dedup+order) as one lazy Dataset (no writes)."""
     out = route_stage(
         enrich_stage(parse_stage(ds), concurrency=enrich_concurrency),
         rules=rules,
         concurrency=route_concurrency,
     )
     if dedup:
-        out = dedup_first_wins(out)
+        out = finalize_routed(out, rules=rules)
     return out
 
 
@@ -99,10 +105,20 @@ def flagship_run(
     num_partitions: int | None = None,
     dedup: bool = True,
     enrich_concurrency: int = 4,
-    route_concurrency: int = 4,
+    route_concurrency: int | None = None,
     sort_output: bool = True,
     max_partitions: int | None = None,  # test hook: stop after k (simulated failure)
+    partition_parallelism: int = 2,
 ) -> FlagshipResult:
+    """Run the flagship over ``input_dir``, checkpointing per input partition.
+
+    ``partition_parallelism`` overlaps adjacent partition sub-pipelines (each is an
+    independent streaming Dataset execution sharing the Ray session): while one
+    partition sits in its shuffle barrier, the next partition's read/route stages
+    fill the idle cores. Checkpoint semantics are unchanged — each partition still
+    completes and writes its manifest atomically and independently."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
     rules = rules if rules is not None else default_ruleset()
     rfp = ruleset_fingerprint(rules)
@@ -113,6 +129,7 @@ def flagship_run(
     result = FlagshipResult(out_dir=out_dir, partitions_total=len(parts))
     os.makedirs(out_dir, exist_ok=True)
 
+    todo = []
     for pid, part_files in enumerate(parts):
         if max_partitions is not None and pid >= max_partitions:
             break
@@ -122,6 +139,10 @@ def flagship_run(
             result.partitions_skipped += 1
             _tally(result, m)
             continue
+        todo.append((pid, part_files, ifp, entries))
+
+    def work(item):
+        pid, part_files, ifp, entries = item
         pm = _run_partition(
             pid, part_files, out_dir, rules,
             dedup=dedup, sort_output=sort_output,
@@ -130,7 +151,12 @@ def flagship_run(
         )
         pm.update(input_fingerprint=ifp, ruleset_fingerprint=rfp, input_files=entries)
         write_manifest(out_dir, pid, pm)
-        _tally(result, pm)
+        return pm
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, partition_parallelism)) as pool:
+            for pm in pool.map(work, todo):
+                _tally(result, pm)
 
     _merge_aggregates(out_dir, len(parts), max_partitions)
     result.wall_sec = time.time() - t0
@@ -163,7 +189,9 @@ def _run_partition(
         route_concurrency=route_concurrency,
         dedup=dedup,
     )
-    if sort_output:
+    # dedup=True already yields bucket-sorted output (finalize_routed: dedup and
+    # ordering share one shuffle); only the no-dedup path needs an explicit sort.
+    if sort_output and not dedup:
         routed = routed.sort(SORT_KEY)
     t_route = time.time()
     routed.write_parquet(
@@ -172,24 +200,41 @@ def _run_partition(
     t_write = time.time()
 
     # Per-partition aggregate partials + per-sink/error counts from the written
-    # output (reading the fresh parquet back is cheap and avoids re-executing the
-    # routed pipeline a second time for metrics).
-    written = ray.data.read_parquet(os.path.join(part_dir, "routed"))
-    agg = sink_counts(written)
+    # output in ONE pass (reading the fresh parquet back is cheap and avoids
+    # re-executing the routed pipeline a second time for metrics).
+    written = ray.data.read_parquet(
+        os.path.join(part_dir, "routed"),
+        columns=["sink", "role", "tool", "error"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        errs = pc.cast(pc.is_valid(t["error"]), pa.int64())
+        g = (
+            t.select(["sink", "role", "tool"])
+            .append_column("err", errs)
+            .group_by(["sink", "role", "tool"])
+            .aggregate([([], "count_all"), ("err", "sum")])
+        )
+        return g.rename_columns(["sink", "role", "tool", "n", "err"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        written.map_batches(partial, batch_format="pyarrow")
+        .groupby(["sink", "role", "tool"])
+        .aggregate(Sum("n", alias_name="n"), Sum("err", alias_name="err"))
+    )
     agg.write_parquet(os.path.join(part_dir, "agg_counts"), mode="overwrite")
     agg_tbl = pa.concat_tables(
         [pq.read_table(f) for f in glob.glob(os.path.join(part_dir, "agg_counts", "*.parquet"))]
     )
     sink_rows: dict[str, int] = {}
+    err_rows = 0
     for row in agg_tbl.to_pylist():
         sink_rows[row["sink"]] = sink_rows.get(row["sink"], 0) + row["n"]
-    err_rows = int(
-        written.map_batches(
-            lambda t: pa.table({"n": [t.filter(pa.compute.is_valid(t["error"])).num_rows]}),
-            batch_format="pyarrow",
-        ).sum("n")
-        or 0
-    )
+        err_rows += row["err"]
     t_agg = time.time()
     return {
         "pid": pid,

@@ -101,6 +101,12 @@ _ROUTED_COLS = [
 ]
 
 
+# Stopword list as a SQL list literal (shared with stages/text_analysis.py).
+from ..stages.text_analysis import STOPWORDS  # noqa: E402
+
+STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
 def _sql_case(col: str, mapping: dict[str, str], default: str) -> str:
     arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
     return f"CASE {col} {arms} ELSE '{default}' END"
@@ -136,7 +142,7 @@ def q_route_fanout(sf_dir: str):
         derive_transcripts_from_events(sf_dir),
         dedup=False,
         enrich_concurrency=2,
-        route_concurrency=2,
+        route_concurrency=None,
     )
     return ds.select_columns(_ROUTED_COLS)
 
@@ -146,7 +152,7 @@ def q_agg_counts(sf_dir: str):
         derive_transcripts_from_events(sf_dir),
         dedup=False,
         enrich_concurrency=2,
-        route_concurrency=2,
+        route_concurrency=None,
     )
     return sink_counts(ds)
 
@@ -157,7 +163,7 @@ def q_dedup_relations(sf_dir: str):
         derive_transcripts_from_events(sf_dir),
         dedup=True,
         enrich_concurrency=2,
-        route_concurrency=2,
+        route_concurrency=None,
     )
 
     def pick(t: pa.Table) -> pa.Table:

@@ -1,0 +1,255 @@
+"""Driver-contract queries, wave 2: service-graph join/RED, envelope packing, and
+the training-data operator family (dedup, text analysis, similarity search).
+
+Same contract as queries.py: each Ray query has a DuckDB oracle with identical
+column names/types where SQL can express the semantics; LSH/heuristic operators
+(language ID, MinHash, SimHash, LSH-ANN) are registered without oracles — the driver
+records the weaker rows-only check, and `tests/test_training_ops.py` carries their
+brute-force oracles instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..stages.dedup_docs import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..stages.pack import pack_envelopes
+from ..stages.parse import parse_stage
+from ..stages.servicegraph import (
+    DEFAULT_LATENCY_BOUNDS,
+    edge_table,
+    latency_histogram,
+    red_metrics,
+)
+from ..stages.similarity import brute_force_topk, lsh_topk
+from ..stages.text_analysis import (
+    fingerprint_batch,
+    lang_id_stage,
+    quality_score_batch,
+    token_count_batch,
+)
+from ..sources.transcripts import derive_transcripts_from_events
+from .flagship import routed_dataset
+from .queries import _PARSED_SQL, STOP_SQL_LIST
+
+EDGE_COLS = ["conv_id", "client_turn", "server_turn", "client_role", "tool", "failed", "latency_us"]
+
+_EDGES_SQL = (
+    _PARSED_SQL
+    + """,
+edges AS (
+  SELECT p1.conv_id,
+         p1.turn_idx AS client_turn,
+         p2.turn_idx AS server_turn,
+         p1.role AS client_role,
+         p2.tool AS tool,
+         CAST(p2.severity = 'ERROR' AS BIGINT) AS failed,
+         date_diff('microsecond', p1.ts, p2.ts) AS latency_us
+  FROM parsed p1
+  JOIN parsed p2
+    ON p2.conv_id = p1.conv_id AND p2.turn_idx = p1.turn_idx + 1
+  WHERE p1.tool_name IS NOT NULL AND p2.role = 'tool' AND p2.tool = p1.tool_name
+)
+"""
+)
+
+
+def _parsed_transcripts(sf_dir: str):
+    return parse_stage(derive_transcripts_from_events(sf_dir))
+
+
+def q_sg_edges(sf_dir: str):
+    """Span-pair join (J1): caller turn ↔ next tool turn within conversation."""
+    return edge_table(_parsed_transcripts(sf_dir)).select_columns(EDGE_COLS)
+
+
+def q_sg_red(sf_dir: str):
+    """RED counters per series key (A1): requests, failures, total latency."""
+    return red_metrics(edge_table(_parsed_transcripts(sf_dir)))
+
+
+def q_sg_latency_hist(sf_dir: str):
+    """Explicit-bounds latency histogram (A2), Go SearchFloat64s bucketing."""
+    return latency_histogram(edge_table(_parsed_transcripts(sf_dir)))
+
+
+def q_envelope_pack(sf_dir: str):
+    """Byte-capped envelope packing (A5) — greedy, first-seen order; the packing
+    decision is not SQL-expressible (running-size recursion), so the driver records
+    a rows-only check and tests/test_pack.py carries the invariants."""
+    routed = routed_dataset(
+        derive_transcripts_from_events(sf_dir), dedup=False, enrich_concurrency=2
+    )
+    return pack_envelopes(routed)
+
+
+# -- documents family -------------------------------------------------------
+
+def q_docs_dedup_exact(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def q_docs_token_count(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def q_docs_quality(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_actual", "punct_ratio", "stopword_ratio"]
+    )
+
+
+def q_docs_fingerprint(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def q_docs_langid(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id_stage(ds, concurrency=2).select_columns(
+        ["doc_id", "lang_pred", "lang_score"]
+    )
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+
+
+def q_docs_simhash_pairs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs Jaccard — restricted to the first 200 docs (O(n²) baseline
+    operator; the LSH variants are the scale path)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(t.slice(0, 200))
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+# -- embeddings family ------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = t.slice(0, n)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    return q, head["vec_id"].to_numpy(zero_copy_only=False)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors (exact ANN baseline):
+    broadcast query matrix + per-batch matmul partials, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    return brute_force_topk(ds, q, qids, k=10)
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (scale path; recall<1 ⇒ rows-only check,
+    recall asserted vs the exact baseline in tests)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    return lsh_topk(ds, q, qids, k=10, num_planes=6)
+
+
+def q_emb_neardup(sf_dir: str):
+    """Exact cosine near-dup pairs ≥ 0.45 (float64 both sides)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.45)
+
+
+_BOUNDS_SQL = "[" + ", ".join(str(b) for b in DEFAULT_LATENCY_BOUNDS) + "]"
+
+ORACLES2: dict[str, str] = {
+    "sg_edges": _EDGES_SQL
+    + "SELECT conv_id, client_turn, server_turn, client_role, tool, failed, latency_us FROM edges",
+    "sg_red": _EDGES_SQL
+    + """SELECT tool, client_role, COUNT(*) AS n, SUM(failed) AS failed,
+       SUM(latency_us) AS latency_us_sum
+FROM edges GROUP BY tool, client_role""",
+    "sg_latency_hist": _EDGES_SQL
+    + f"""SELECT tool,
+       CAST(len(list_filter({_BOUNDS_SQL}, b -> b < latency_us / 1000000.0)) AS INTEGER) AS bucket_idx,
+       COUNT(*) AS n
+FROM edges GROUP BY 1, 2""",
+    "docs_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "docs_token_count": """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents""",
+    "docs_quality": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0
+             / greatest(1, length(text)), 6) AS punct_ratio,
+       round(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                             t -> list_contains({STOP_SQL_LIST}, t))) * 1.0
+             / greatest(1, len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), 6)
+             AS stopword_ratio
+FROM documents""",
+    "docs_fingerprint": """
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint
+FROM documents""",
+    "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank
+FROM ranked WHERE rank <= 10""",
+    "emb_neardup": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+}
+
+QUERIES2 = {
+    "sg_edges": q_sg_edges,
+    "sg_red": q_sg_red,
+    "sg_latency_hist": q_sg_latency_hist,
+    "envelope_pack": q_envelope_pack,
+    "docs_dedup_exact": q_docs_dedup_exact,
+    "docs_token_count": q_docs_token_count,
+    "docs_quality": q_docs_quality,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_langid": q_docs_langid,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "emb_neardup": q_emb_neardup,
+}

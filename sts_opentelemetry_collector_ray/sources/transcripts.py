@@ -219,6 +219,7 @@ def generate_transcripts(
         pq.write_table(
             table.slice(i, rows_per_file),
             os.path.join(out_dir, f"transcripts-{i // rows_per_file:05d}.parquet"),
+            row_group_size=16_384,  # fine row groups → Ray can split blocks > cores
         )
     return out_dir
 

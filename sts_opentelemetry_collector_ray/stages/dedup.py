@@ -94,3 +94,108 @@ def dedup_first_wins(
     return pre.groupby("_bucket").map_groups(
         _bucket_first(key, num_buckets), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-shuffle finalize: dedup + per-conversation ordering in ONE exchange.
+# ---------------------------------------------------------------------------
+
+_SORT = ["sink", "conv_id", "turn_idx", "data_source"]
+# NOTE: pc.sort_indices on multiple keys is a stable C++ radix/merge sort over
+# Arrow string/int columns — an order of magnitude faster than pandas
+# object-dtype sort_values on the same data.
+
+
+def _sorted_first_wins(t: "pa.Table") -> "pa.Table":
+    """Arrow-native: stable sort by (sink, conv, turn, data_source) then keep the
+    first row per non-null dedup_key. All C++ kernels + one vectorized pandas
+    `duplicated` over the exact uint64 key — no pandas frame conversion, no lossy
+    float cast (nullable uint64 is a first-class Arrow type)."""
+    order = pc.sort_indices(
+        t, sort_keys=[(k, "ascending") for k in _SORT]
+    )
+    t = t.take(order)
+    col = t["dedup_key"].combine_chunks() if isinstance(t["dedup_key"], pa.ChunkedArray) else t["dedup_key"]
+    keyed = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+    keep = np.ones(len(t), dtype=bool)
+    if keyed.any():
+        dk = np.asarray(
+            pc.fill_null(col, 0).to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        keep[keyed] = ~pd.Series(dk[keyed]).duplicated(keep="first").to_numpy()
+    return t.filter(pa.array(keep))
+
+
+def _finalize_local(num_buckets: int, nonlocal_sources: frozenset):
+    """Per-batch: local first-wins combiner + bucket assignment.
+
+    Bucket choice is the key insight: a dedup key whose rule references ``conv_id``
+    can only collide within one conversation, so bucketing those rows by
+    ``hash(conv_id) % B`` co-locates all their duplicates AND all rows needed for
+    per-conversation ordering — dedup and sort share one shuffle. Only rules whose
+    expressions never touch ``conv_id`` (cross-conversation keys) bucket by
+    ``dedup_key % B`` instead; their ordering is still per-bucket sorted."""
+    from ..functions.hashing import fnv1a32_arrow
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _sorted_first_wins(t)
+        conv_bucket = (
+            fnv1a32_arrow(t["conv_id"].combine_chunks()) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        if nonlocal_sources:
+            ds_col = t["data_source"].to_numpy(zero_copy_only=False)
+            col = t["dedup_key"].combine_chunks()
+            nonnull = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+            is_nl = np.isin(ds_col, list(nonlocal_sources)) & nonnull
+            bucket = conv_bucket.copy()
+            if is_nl.any():
+                dk = np.asarray(
+                    pc.fill_null(col, 0).to_numpy(zero_copy_only=False),
+                    dtype=np.uint64,
+                )
+                bucket[is_nl] = (
+                    dk[is_nl] % np.uint64(num_buckets)
+                ).astype(np.int32) + np.int32(num_buckets)
+        else:
+            bucket = conv_bucket
+        return t.append_column("_bucket", pa.array(bucket, pa.int32()))
+
+    return fn
+
+
+def _finalize_bucket(t: "pa.Table") -> "pa.Table":
+    """Per-bucket: deterministic order + exact first-wins on co-located keys."""
+    t = _sorted_first_wins(t)
+    return t.drop_columns(["_bucket"])
+
+
+def finalize_routed(
+    ds: "ray.data.Dataset",
+    rules=None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Dedup + per-conversation ordering with a single full-payload shuffle.
+
+    Replaces [hash-bucket dedup shuffle] + [global range sort] with one
+    ``groupby(_bucket).map_groups``: each bucket holds whole conversations (plus any
+    cross-conversation key groups), is sorted by (sink, conv_id, turn_idx,
+    data_source) and first-wins-deduped vectorized. Output files therefore carry
+    monotone (sink, conv, turn) runs per bucket — the per-partition ordering
+    guarantee of the reference's Kafka keying (message_builder.go:196-203).
+
+    Skew: buckets are hash-uniform over conversations; a single pathological
+    conversation larger than a worker heap would need turn-range salting (accepted
+    limitation, documented — counts are unaffected because the aggregate branch
+    pre-combines per batch)."""
+    from ..rules.model import default_ruleset
+
+    rules = rules if rules is not None else default_ruleset()
+    nonlocal_sources = frozenset(
+        r.rule.identifier
+        for r in rules
+        if r.action == "CREATE" and "conv_id" not in r.referenced_columns
+    )
+    pre = ds.map_batches(
+        _finalize_local(num_buckets, nonlocal_sources), batch_format="pyarrow"
+    )
+    return pre.groupby("_bucket").map_groups(_finalize_bucket, batch_format="pyarrow")

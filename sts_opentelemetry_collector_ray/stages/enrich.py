@@ -77,13 +77,14 @@ def enrich_stage(
     concurrency: int = 4,
     batch_size: int = 32_768,
 ) -> "ray.data.Dataset":
-    # num_cpus=0.5: the pool must not reserve every core or the read/sort/write
-    # stages starve and the pipeline serializes (enrichment is a cheap dict map).
+    # Autoscaling pool (1..concurrency) so the stage starts processing on the first
+    # actor instead of waiting for the full pool; num_cpus=0.5 so the pool never
+    # reserves every core (that starves read/sort/write and serializes the pipeline).
     return ds.map_batches(
         EnrichActor,
         fn_constructor_kwargs={"tool_info": tool_info, "role_class": role_class},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
         num_cpus=0.5,
     )

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import fnv1a64_array, shard_id_array
+from ..functions.hashing import fnv1a32_arrow, fnv1a64_arrow
 from ..rules.expr import canonical_json
 from ..rules.model import CompiledRule, default_ruleset, normalize_dependency
 
@@ -59,44 +59,100 @@ ROUTED_SCHEMA = pa.schema(
 _CARRY = ["conv_id", "turn_idx", "role", "tool", "severity", "text"]
 
 
-def _batch_env(batch: pa.Table) -> tuple[dict, int]:
-    env: dict = {}
+class _LazyMap:
+    """Arrow map column materialized to python dicts only on first access (and only
+    for the row subset in play) — rules that never reference `attrs` never pay."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    def take(self, idx: np.ndarray) -> "_LazyMap":
+        return _LazyMap(self.arr.take(pa.array(idx)))
+
+    def __len__(self):
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        # row access for the per-row eval fallback path
+        kv = self.arr[i].as_py()
+        return dict(kv) if kv is not None else {}
+
+    def materialize(self) -> np.ndarray:
+        return np.array(
+            [dict(kv) if kv is not None else {} for kv in self.arr.to_pylist()],
+            dtype=object,
+        )
+
+
+class _EnvDict(dict):
+    """Env whose lazy map columns materialize on first read."""
+
+    def __getitem__(self, key):
+        v = super().__getitem__(key)
+        if isinstance(v, _LazyMap):
+            v = v.materialize()
+            super().__setitem__(key, v)
+        return v
+
+
+def _batch_env(batch: pa.Table) -> tuple[_EnvDict, int]:
+    env = _EnvDict()
     for name in batch.column_names:
         col = batch[name]
         if pa.types.is_map(col.type):
-            env[name] = np.array(
-                [dict(kv) if kv is not None else {} for kv in col.to_pylist()],
-                dtype=object,
-            )
+            env[name] = _LazyMap(col)
         else:
             env[name] = np.asarray(col.to_numpy(zero_copy_only=False))
     return env, batch.num_rows
 
 
-def _canonical_projection(env: dict, refs: list[str], idx: np.ndarray) -> np.ndarray:
-    """Sorted-column ``col=<typed value>`` encoding joined by unit separators —
-    the canonical dedup encoding (sorted keys + type tags, deduplicator.go:332-392)."""
-    parts = []
-    for col in refs:
-        vals = env.get(col)
-        if vals is None:
-            parts.append(np.full(len(idx), f"{col}=\x00", dtype=object))
-            continue
-        sub = vals[idx]
-        enc = np.array(
-            [
-                f"{col}=" + _typed_repr(v)
-                for v in sub
-            ],
-            dtype=object,
+def _encode_col(sub: np.ndarray) -> pa.Array:
+    """Vectorized typed-value encoding of one column subset (see _typed_repr) —
+    returns an Arrow string array (null = absent value)."""
+    import pyarrow.compute as pc
+
+    if sub.dtype.kind in "iu":
+        return pc.binary_join_element_wise(
+            "i:", pc.cast(pa.array(sub.astype(np.int64)), pa.string()), ""
         )
-        parts.append(enc)
-    if not parts:
-        return np.full(len(idx), "", dtype=object)
-    out = parts[0]
-    for p in parts[1:]:
-        out = np.char.add(np.char.add(out.astype(str), "\x1f"), p.astype(str)).astype(object)
-    return out
+    if sub.dtype.kind == "f":
+        bits = sub.astype(np.float64).view(np.uint64)
+        return pc.binary_join_element_wise(
+            "f:", pc.cast(pa.array(bits), pa.string()), ""
+        )
+    if sub.dtype.kind == "b":
+        return pc.binary_join_element_wise(
+            "b:", pc.cast(pa.array(sub.astype(np.int8)), pa.string()), ""
+        )
+    sample = next((v for v in sub if v is not None), None)
+    if sample is None or isinstance(sample, str):
+        return pc.binary_join_element_wise("s:", pa.array(sub, pa.string()), "")
+    return pa.array([_typed_repr(v) for v in sub], pa.string())
+
+
+def _canonical_projection(sub_env: dict, refs: list[str], m: int) -> pa.Array:
+    """Sorted-column ``col=<typed value>`` encoding joined by unit separators —
+    the canonical dedup encoding (sorted keys + type tags, deduplicator.go:332-392).
+    One Arrow join kernel; null cells encode as ``col=\\x00``."""
+    import pyarrow.compute as pc
+
+    args: list = []
+    for i, col in enumerate(refs):
+        if i:
+            args.append("\x1f")
+        args.append(f"{col}=")
+        if col not in sub_env:
+            args.append("\x00")
+            continue
+        enc = _encode_col(np.asarray(sub_env[col]))
+        args.append(pc.fill_null(enc, "\x00"))
+    if not args:
+        return pa.array([""] * m, pa.string())
+    if len(args) == 1:
+        args.append("")
+    return pc.binary_join_element_wise(*args, "")
 
 
 def _typed_repr(v) -> str:
@@ -125,6 +181,14 @@ class Router:
         self.shard_count = shard_count
         # Driver-computable ExpressionRef projections, resolved once (ST5/M6).
         self._refs = {r.rule.identifier: sorted(r.referenced_columns) for r in self.rules}
+        # All columns a rule's expressions may touch (outputs + vars), for slicing
+        # the per-rule sub-environment to just what is needed.
+        self._env_cols: dict[str, set] = {}
+        for r in self.rules:
+            cols = set(r.referenced_columns)
+            for v in r.vars.values():
+                cols |= v.refs - {"vars"}
+            self._env_cols[r.rule.identifier] = cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         env, n = _batch_env(batch)
@@ -148,9 +212,15 @@ class Router:
         idx = np.nonzero(mask)[0]
         if idx.size == 0:
             return None
-        sub_env = {
-            k: (v[idx] if isinstance(v, np.ndarray) else v) for k, v in env.items()
-        }
+        sub_env: dict = {}
+        for k in self._env_cols[rule.rule.identifier]:
+            if k not in env:
+                continue
+            v = dict.__getitem__(env, k)  # raw: avoid materializing full lazy maps
+            if isinstance(v, _LazyMap):
+                sub_env[k] = v.take(idx).materialize()
+            else:
+                sub_env[k] = v[idx]
         m = idx.size
 
         err_mask = np.zeros(m, dtype=bool)
@@ -218,18 +288,23 @@ class Router:
             tgt_o = np.full(m, None, dtype=object)
             dep = np.full(m, None, dtype=object)
 
+        import pyarrow.compute as pc
+
         ok = ~err_mask
         shard = np.full(m, "unknown", dtype=object)
         if ok.any():
-            shard[ok] = shard_id_array(ext[ok], self.shard_count).astype(str)
+            ext_arr = pa.array(ext[ok], pa.string())
+            shards = fnv1a32_arrow(ext_arr) % np.uint64(self.shard_count)
+            shard[ok] = shards.astype(np.int32).astype(str)
 
         dedup = np.full(m, None, dtype=object)
         if rule.action == "CREATE" and ok.any():
             refs = self._refs[rule.rule.identifier]
-            canon = _canonical_projection(env, refs, idx[ok])
+            canon = _canonical_projection(sub_env, refs, m)
             prefix = f"{rule.rule.identifier}|{rule.rule.signal}|"
-            keys = np.char.add(prefix, canon.astype(str))
-            dedup[ok] = list(fnv1a64_array(keys))
+            keys = pc.binary_join_element_wise(prefix, canon, "")
+            hashes = fnv1a64_arrow(keys)
+            dedup[ok] = list(hashes[ok])
 
         cols: dict[str, pa.Array] = {
             "sink": pa.array(np.full(m, rule.rule.sink, dtype=object), pa.string()),
@@ -290,17 +365,22 @@ def route_stage(
     concurrency: int | None = None,
     batch_size: int = 32_768,
 ) -> "ray.data.Dataset":
-    """Apply the ruleset as an actor-pool stage (rule compile amortized per actor)."""
-    kwargs = {}
+    """Apply the ruleset per batch.
+
+    Default is STATELESS tasks (fully elastic under the streaming executor): the
+    compiled ruleset is tiny and re-pickles in milliseconds, unlike the enrichment
+    stage's lookup tables — so the router gains nothing from actor affinity but
+    would pay pool-warmup latency and fixed CPU reservations. Pass ``concurrency``
+    to pin an actor pool instead (e.g. for very large rulesets, the reference's
+    expression-cache scenario, expression.go:68-82)."""
     if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    # num_cpus<1 so the router pool shares cores with the surrounding stages —
-    # reserving every core would starve read/sort/write and serialize the pipeline.
-    return ds.map_batches(
-        Router,
-        fn_constructor_kwargs={"rules": rules},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=0.75,
-        **kwargs,
-    )
+        return ds.map_batches(
+            Router,
+            fn_constructor_kwargs={"rules": rules},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=0.75,
+            concurrency=concurrency,
+        )
+    router = Router(rules=rules)
+    return ds.map_batches(router, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,150 @@
+"""Service-graph connector analogue — span-pair join → RED metrics.
+
+The reference pairs client spans keyed (traceId, spanId) with server spans keyed
+(traceId, parentSpanId) in a TTL'd in-memory store, then aggregates request counts,
+failed counts and latency histograms per series key (reference:
+connector/stsservicegraphconnector/connector.go:253-343 pairing, 387-479 aggregation,
+41-44 default latency bounds; store/store.go:45-188 edge store).
+
+Transcript translation: a *caller* turn carrying a tool-call signature pairs with the
+immediately following *callee* turn (``turn_idx + 1``) when that turn is a tool turn
+for the same tool — the conversational analogue of client/server span matching. Batch
+semantics replace the waiting-room store with an exact self-join: hash-bucket by
+``conv_id``, pair inside each bucket with a vectorized pandas merge. The reference's
+probabilistic eviction compensation (store.go:145-181) is intentionally dropped — a
+batch join is exact, no memory-pressure eviction exists (SURVEY.md §2.4 J2).
+
+Latency histograms use the reference's 16 explicit bucket bounds (0.002s … 15s) with
+``np.searchsorted`` — the vectorized equivalent of Go's ``sort.SearchFloat64s``
+(connector.go:456-479).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# connector.go:41-44 — 16 explicit bounds, seconds.
+DEFAULT_LATENCY_BOUNDS = [
+    0.002, 0.004, 0.006, 0.008, 0.01, 0.05, 0.1, 0.2, 0.4, 0.8,
+    1.0, 1.4, 2.0, 5.0, 10.0, 15.0,
+]
+
+
+def _extract_halves(t: pa.Table) -> pa.Table:
+    """Keep only potential edge halves (caller: has tool_sig; callee: tool turn) —
+    prunes the join input before the shuffle."""
+    import pyarrow.compute as pc
+
+    caller = pc.is_valid(t["tool_sig"])
+    callee = pc.equal(t["role"], "tool")
+    keep = pc.or_(caller, callee)
+    cols = ["conv_id", "turn_idx", "role", "tool", "severity", "tool_name", "ts"]
+    return t.filter(keep).select(cols)
+
+
+def _pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    callers = g[g["tool_name"].notna()][
+        ["conv_id", "turn_idx", "role", "tool_name", "ts"]
+    ].rename(columns={"role": "client_role", "ts": "client_ts"})
+    callees = g[g["role"] == "tool"][
+        ["conv_id", "turn_idx", "tool", "severity", "ts"]
+    ].rename(columns={"ts": "server_ts"})
+    callees = callees.assign(caller_turn=callees["turn_idx"] - 1)
+    e = callers.merge(
+        callees,
+        left_on=["conv_id", "turn_idx", "tool_name"],
+        right_on=["conv_id", "caller_turn", "tool"],
+        suffixes=("_c", "_s"),
+    )
+    if e.empty:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype=object),
+                "client_turn": pd.Series(dtype=np.int32),
+                "server_turn": pd.Series(dtype=np.int32),
+                "client_role": pd.Series(dtype=object),
+                "tool": pd.Series(dtype=object),
+                "failed": pd.Series(dtype=np.int64),
+                "latency_us": pd.Series(dtype=np.int64),
+            }
+        )
+    lat = (
+        e["server_ts"].to_numpy("datetime64[us]").astype(np.int64)
+        - e["client_ts"].to_numpy("datetime64[us]").astype(np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": e["conv_id"],
+            "client_turn": e["turn_idx_c"].astype(np.int32),
+            "server_turn": e["turn_idx_s"].astype(np.int32),
+            "client_role": e["client_role"],
+            "tool": e["tool"],
+            "failed": (e["severity"] == "ERROR").astype(np.int64),
+            "latency_us": lat,
+        }
+    )
+
+
+def edge_table(parsed: "ray.data.Dataset", num_buckets: int = 32) -> "ray.data.Dataset":
+    """Paired edges: one row per completed (caller turn → tool turn) edge."""
+    halves = parsed.map_batches(_extract_halves, batch_format="pyarrow")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            _bucket=(
+                pd.util.hash_array(df["conv_id"].to_numpy(dtype=object)) % num_buckets
+            ).astype(np.int32)
+        )
+        return df
+
+    b = halves.map_batches(bucketize, batch_format="pandas")
+    return b.groupby("_bucket").map_groups(
+        lambda g: _pair_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
+
+
+def red_metrics(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Request/Error counts + latency sum per series key (A1 + A2 sum/count)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["tool", "client_role"], as_index=False)
+            .agg(
+                n=("failed", "size"),
+                failed=("failed", "sum"),
+                latency_us_sum=("latency_us", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["tool", "client_role"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("failed", alias_name="failed"),
+        Sum("latency_us_sum", alias_name="latency_us_sum"),
+    )
+
+
+def latency_histogram(
+    edges: "ray.data.Dataset", bounds: list[float] | None = None
+) -> "ray.data.Dataset":
+    """(tool, bucket_idx, n): explicit-bounds histogram, bucket index =
+    searchsorted(bounds, seconds, 'left') — Go SearchFloat64s semantics."""
+    from ray.data.aggregate import Sum
+
+    bounds_arr = np.array(bounds or DEFAULT_LATENCY_BOUNDS, dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        secs = t["latency_us"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        idx = np.searchsorted(bounds_arr, secs, side="left").astype(np.int32)
+        tt = pa.table({"tool": t["tool"], "bucket_idx": pa.array(idx)})
+        g = tt.group_by(["tool", "bucket_idx"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tool", "bucket_idx", "pn"])
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["tool", "bucket_idx"]).aggregate(Sum("pn", alias_name="n"))

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Two paths, both deterministic:
+
+- `brute_force_topk` — the exact baseline: the query matrix is broadcast once
+  (`ray.put`, read per task), each batch computes a numpy matmul against it and emits
+  its local top-k per query; a final tiny merge keeps the global top-k. Shuffle-free:
+  only (n_queries × k) rows per batch leave the workers.
+- `lsh_topk` — the scale path: random-hyperplane LSH (seeded) buckets both corpus
+  and queries; candidates are searched only within each query's bucket (plus
+  optional multi-probe by flipping one hyperplane bit). Recall < 1 by design;
+  the exact baseline is the oracle for recall tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank) with rank 1..k,
+    ties broken by neighbor id ascending (deterministic)."""
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((qmat, np.asarray(query_ids)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qm, qids = ray.get(qref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+        )
+        sims = _unit(mat) @ qm.T  # (n, q)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        take = min(k + (1 if exclude_self else 0), sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            part = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
+            for p in part:
+                rows["query_id"].append(int(qids[qi]))
+                rows["neighbor_id"].append(int(ids[p]))
+                rows["score"].append(float(col[p]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g[["query_id", "neighbor_id", "rank"]])
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    )
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane bucket per vector; each query searches
+    only its bucket + one-bit-flip probes. Returns (query_id, neighbor_id, rank)."""
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    d = dim or qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, num_planes))
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+
+    qbuckets = bucket_of(qmat)
+    probe_sets = []
+    for qb in qbuckets:
+        probes = {int(qb)} | {int(qb) ^ (1 << b) for b in range(num_planes)}
+        probe_sets.append(probes)
+    wanted: dict[int, list[int]] = {}
+    for qi, probes in enumerate(probe_sets):
+        for b in probes:
+            wanted.setdefault(b, []).append(qi)
+    qref = ray.put((qmat, np.asarray(query_ids), wanted))
+
+    def local(t: pa.Table) -> pa.Table:
+        qm, qids, want = ray.get(qref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+        )
+        unit = _unit(mat)
+        buckets = bucket_of(unit)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for b in np.unique(buckets):
+            qis = want.get(int(b))
+            if not qis:
+                continue
+            sel = buckets == b
+            sub = unit[sel]
+            sub_ids = ids[sel]
+            sims = sub @ qm[qis].T
+            for ci, qi in enumerate(qis):
+                col = sims[:, ci]
+                take = min(k + 1, len(col))
+                part = (
+                    np.argpartition(-col, take - 1)[:take]
+                    if take < len(col)
+                    else np.arange(len(col))
+                )
+                for p in part:
+                    rows["query_id"].append(int(qids[qi]))
+                    rows["neighbor_id"].append(int(sub_ids[p]))
+                    rows["score"].append(float(col[p]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.drop_duplicates("neighbor_id").sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g[["query_id", "neighbor_id", "rank"]])
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    )

@@ -1,0 +1,143 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own operator set (SURVEY.md §2), these are the text-side
+components a 100 TB corpus pipeline needs: language ID, quality scoring, token
+counting, and document fingerprinting — each a vectorized `map_batches` stage over
+the `documents` table (or any string column).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as".split()
+)
+
+_WS = re.compile(r"\s+")
+
+
+def token_count_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count (vectorized via Arrow split + list_value_length)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(t[col], r"\s+")
+    # splitting " a" yields a leading empty string — count non-empty elements to
+    # match the SQL oracle's list_filter(x -> x <> '')
+    flat_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    nonempty = []
+    offset = 0
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    values = flat.flatten()
+    empty = pc.equal(values, "").to_numpy(zero_copy_only=False)
+    for c in flat_counts:
+        nonempty.append(int(c) - int(empty[offset : offset + c].sum()))
+        offset += int(c)
+    return t.append_column("n_tokens", pa.array(nonempty, pa.int64()))
+
+
+def quality_score_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword heuristics (round-6 ratios for the oracle)."""
+    import pyarrow.compute as pc
+
+    text = t[col]
+    n_chars = pc.utf8_length(text)
+    n_punct = pc.list_value_length(pc.split_pattern_regex(text, r"[.!?,;:]"))
+    # number of punctuation chars = split parts - 1
+    punct = pc.subtract(n_punct, 1)
+    s = pd.Series(text.to_numpy(zero_copy_only=False))
+    toks = s.str.lower().str.split()
+    n_tok = toks.map(len)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
+    punct_ratio = np.round(
+        punct.to_numpy(zero_copy_only=False)
+        / np.maximum(1, n_chars.to_numpy(zero_copy_only=False)),
+        6,
+    )
+    stop_ratio = np.round(n_stop.to_numpy() / np.maximum(1, n_tok.to_numpy()), 6)
+    out = t.append_column("n_chars_actual", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+    return out
+
+
+def fingerprint_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Polynomial rolling hash of the UTF-8 bytes, base 131 mod 2^31-1 — a
+    deterministic document fingerprint reproducible in SQL (list_reduce)."""
+    from ..functions.hashing import _arrow_string_bytes
+
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, starts, lens = _arrow_string_bytes(arr)
+    n = len(starts)
+    acc = np.zeros(n, dtype=np.int64)
+    width = int(lens.max()) if n else 0
+    guard = max(len(data) - 1, 0)
+    for pos in range(width):
+        live = pos < lens
+        idx = np.minimum(starts + pos, guard)
+        b = data[idx].astype(np.int64) if len(data) else np.zeros(n, np.int64)
+        acc = np.where(live, (acc * 131 + b) % 2147483647, acc)
+    return t.append_column("fingerprint", pa.array(acc, pa.int64()))
+
+
+# n-gram language ID: cosine-free heuristic — score = fraction of a document's
+# character trigrams present in each language profile; deterministic profiles
+# derived from stopword seeds so no external model is needed.
+_LANG_SEEDS = {
+    "en": "the and of to in is that it was for on are with as his they at be this",
+    "es": "el la de que y en los se del las por un con una su para es al lo como",
+    "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein",
+    "fr": "le de la et les des en un du une que est pour qui dans par sur au plus",
+    "zh": "de le shi zai he you wo ta men zhe ge shang xia bu liao dou hui dui neng",
+}
+
+
+def _profiles() -> dict[str, frozenset]:
+    out = {}
+    for lang, seed in _LANG_SEEDS.items():
+        grams = set()
+        s = f" {seed} "
+        for i in range(len(s) - 2):
+            grams.add(s[i : i + 3])
+        out[lang] = frozenset(grams)
+    return out
+
+
+class LangIdActor:
+    """Actor-pool language ID: profiles built once per actor (the model-load
+    pattern — ST1/ST2 analogue for an actual model)."""
+
+    def __init__(self):
+        self.profiles = _profiles()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        langs = np.empty(len(texts), dtype=object)
+        scores = np.zeros(len(texts), dtype=np.float64)
+        for i, txt in enumerate(texts):
+            s = f" {str(txt).lower()} "
+            grams = {s[j : j + 3] for j in range(len(s) - 2)}
+            best_lang, best = "und", 0.0
+            for lang, prof in self.profiles.items():
+                if not grams:
+                    continue
+                score = len(grams & prof) / len(grams)
+                if score > best:
+                    best_lang, best = lang, score
+            langs[i] = best_lang
+            scores[i] = round(best, 6)
+        out = t.append_column("lang_pred", pa.array(langs, pa.string()))
+        return out.append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+def lang_id_stage(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5
+    )

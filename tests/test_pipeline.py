@@ -13,14 +13,34 @@ import pytest
 from sts_opentelemetry_collector_ray.pipelines import flagship_run
 
 
+NUM_PARTS = 2
+
+
 @pytest.fixture(scope="module")
-def flagship_out(transcripts_dir, tmp_path_factory):
+def multi_file_transcripts(tmp_path_factory):
+    """Multi-file corpus so partitioned runs exercise real partition boundaries."""
+    from sts_opentelemetry_collector_ray.sources import generate_transcripts
+
+    out = str(tmp_path_factory.mktemp("transcripts_mf"))
+    generate_transcripts(out, n_turns=5000, seed=42, rows_per_file=1024)
+    return out
+
+
+@pytest.fixture(scope="module")
+def flagship_out(multi_file_transcripts, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("flagship"))
     res = flagship_run(
-        transcripts_dir, out, num_partitions=2,
-        enrich_concurrency=2, route_concurrency=2,
+        multi_file_transcripts, out, num_partitions=NUM_PARTS,
+        enrich_concurrency=2,
     )
     return out, res
+
+
+def partition_chunks(transcripts_dir: str, n_parts: int = NUM_PARTS):
+    from sts_opentelemetry_collector_ray.pipelines.flagship import _chunk
+
+    files = sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet")))
+    return _chunk(files, n_parts)
 
 
 def read_routed(out_dir: str) -> pd.DataFrame:
@@ -33,13 +53,18 @@ def read_routed(out_dir: str) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
-def oracle_routed(transcripts_dir: str) -> pd.DataFrame:
+def oracle_routed(files_or_dir) -> pd.DataFrame:
     """Pure-pandas oracle of the default ruleset over the raw corpus (independent
-    reimplementation of parse→route used for set-equality checks)."""
-    import re
-
+    reimplementation of parse→route→dedup used for set-equality checks). Accepts a
+    directory (global scope) or an explicit file list (one partition's scope —
+    dedup is partition-scoped in flagship_run, mirroring the reference's
+    per-instance dedup cache)."""
+    if isinstance(files_or_dir, str):
+        files = sorted(glob.glob(f"{files_or_dir}/*.parquet"))
+    else:
+        files = list(files_or_dir)
     raw = pd.concat(
-        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{transcripts_dir}/*.parquet"))],
+        [pq.read_table(f).to_pandas() for f in files],
         ignore_index=True,
     )
     sev = raw["text"].str.extract(r"^\[([A-Z]+)\]", expand=False).fillna("UNKNOWN")
@@ -79,10 +104,14 @@ def oracle_routed(transcripts_dir: str) -> pd.DataFrame:
     return pd.concat([df[~rel], rel_df], ignore_index=True)
 
 
-def test_routed_set_equality_vs_oracle(flagship_out, transcripts_dir):
+def test_routed_set_equality_vs_oracle(flagship_out, multi_file_transcripts):
     out_dir, _ = flagship_out
     got = read_routed(out_dir)
-    exp = oracle_routed(transcripts_dir)
+    # partition-scoped oracle: dedup applies within each partition's file chunk
+    exp = pd.concat(
+        [oracle_routed(chunk) for chunk in partition_chunks(multi_file_transcripts)],
+        ignore_index=True,
+    )
     key = ["sink", "data_source", "action", "conv_id", "turn_idx"]
     g = got[key].sort_values(key).reset_index(drop=True)
     e = exp[key].sort_values(key).reset_index(drop=True)
@@ -91,14 +120,14 @@ def test_routed_set_equality_vs_oracle(flagship_out, transcripts_dir):
     pd.testing.assert_frame_equal(g, e)
 
 
-def test_per_turn_text_byte_equality(flagship_out, transcripts_dir):
+def test_per_turn_text_byte_equality(flagship_out, multi_file_transcripts):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering — the
     north-star per-row invariant."""
     out_dir, _ = flagship_out
     got = read_routed(out_dir)
     all_turns = got[got["data_source"] == "urn:mapping:all-turns"]
     raw = pd.concat(
-        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{transcripts_dir}/*.parquet"))],
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{multi_file_transcripts}/*.parquet"))],
         ignore_index=True,
     )
     key = ["conv_id", "turn_idx"]
@@ -109,11 +138,14 @@ def test_per_turn_text_byte_equality(flagship_out, transcripts_dir):
     assert (g["text"].to_numpy() == e["text"].to_numpy()).all()
 
 
-def test_agg_counts_match_oracle(flagship_out, transcripts_dir):
+def test_agg_counts_match_oracle(flagship_out, multi_file_transcripts):
     out_dir, _ = flagship_out
     agg = pq.read_table(os.path.join(out_dir, "agg_counts", "agg_counts.parquet")).to_pandas()
     exp = (
-        oracle_routed(transcripts_dir)
+        pd.concat(
+            [oracle_routed(c) for c in partition_chunks(multi_file_transcripts)],
+            ignore_index=True,
+        )
         .groupby("sink")
         .size()
         .rename("n")
@@ -134,27 +166,29 @@ def test_output_files_ordered_within_conv(flagship_out):
     assert files
     for f in files[:10]:
         df = pq.read_table(f, columns=["conv_id", "turn_idx", "data_source"]).to_pandas()
-        k = pd.MultiIndex.from_frame(df[["conv_id", "turn_idx", "data_source"]])
-        assert k.is_monotonic_increasing, f
+        # output blocks are whole sorted buckets: within a file every
+        # (data_source, conv_id) run must be in turn order
+        for _, g in df.groupby(["data_source", "conv_id"], sort=False):
+            assert g["turn_idx"].is_monotonic_increasing, f
 
 
-def test_manifests_and_resume(transcripts_dir, tmp_path):
+def test_manifests_and_resume(multi_file_transcripts, tmp_path):
     out = str(tmp_path / "resume")
     # simulate a failure after 1 of 2 partitions
-    r1 = flagship_run(transcripts_dir, out, num_partitions=2, max_partitions=1,
-                      enrich_concurrency=2, route_concurrency=2)
+    r1 = flagship_run(multi_file_transcripts, out, num_partitions=2, max_partitions=1,
+                      enrich_concurrency=2)
     assert len(glob.glob(os.path.join(out, "_manifests", "*.json"))) == 1
     # resume completes the rest, skipping the finished partition
-    r2 = flagship_run(transcripts_dir, out, num_partitions=2,
-                      enrich_concurrency=2, route_concurrency=2)
+    r2 = flagship_run(multi_file_transcripts, out, num_partitions=2,
+                      enrich_concurrency=2)
     assert r2.partitions_skipped == 1
     m = json.load(open(glob.glob(os.path.join(out, "_manifests", "*.json"))[0]))
     assert "input_fingerprint" in m and "ruleset_fingerprint" in m
     assert "sink_rows" in m and "stage_wall_sec" in m
     # the resumed output equals a from-scratch run (idempotent resume)
     ref_out = str(tmp_path / "ref")
-    flagship_run(transcripts_dir, ref_out, num_partitions=2,
-                 enrich_concurrency=2, route_concurrency=2)
+    flagship_run(multi_file_transcripts, ref_out, num_partitions=2,
+                 enrich_concurrency=2)
     key = ["sink", "data_source", "conv_id", "turn_idx", "action"]
     a = read_routed(out).sort_values(key).reset_index(drop=True)
     b = read_routed(ref_out).sort_values(key).reset_index(drop=True)

@@ -1,0 +1,73 @@
+"""Service-graph analogue tests (connector_test.go / store_test.go translation):
+pairing semantics, failed counting, latency bucketing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from sts_opentelemetry_collector_ray.stages.parse import parse_batch
+from sts_opentelemetry_collector_ray.stages.servicegraph import (
+    DEFAULT_LATENCY_BOUNDS,
+    edge_table,
+    latency_histogram,
+    red_metrics,
+)
+
+
+def make_ds(rows):
+    t = pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+            "tool": [r[4] for r in rows],
+            "ts": pa.array([np.datetime64(r[5], "us") for r in rows], pa.timestamp("us")),
+        }
+    )
+    return ray.data.from_arrow(parse_batch(t))
+
+
+def test_edge_pairing_and_red():
+    ds = make_ds(
+        [
+            # caller at turn 0 → tool turn 1 (pairs; 0.5 s latency)
+            ("c1", 0, "assistant", "[INFO] go call:bash(q1)", "", "2024-01-01T00:00:00.000000"),
+            ("c1", 1, "tool", "[INFO] result k=1", "bash", "2024-01-01T00:00:00.500000"),
+            # caller at turn 2 names tool search but next turn is bash → NO pair
+            ("c1", 2, "assistant", "[INFO] go call:search(q2)", "", "2024-01-01T00:00:01.000000"),
+            ("c1", 3, "tool", "[INFO] other k=2", "bash", "2024-01-01T00:00:02.000000"),
+            # failed edge (server severity ERROR), different conv, 3 s latency
+            ("c2", 0, "user", "[INFO] run call:bash(q3)", "", "2024-01-01T00:00:00.000000"),
+            ("c2", 1, "tool", "[ERROR] boom k=3", "bash", "2024-01-01T00:00:03.000000"),
+            # tool turn with no preceding caller → NO pair
+            ("c3", 5, "tool", "[INFO] orphan k=4", "search", "2024-01-01T00:00:00.000000"),
+        ]
+    )
+    edges = edge_table(ds).to_pandas().sort_values(["conv_id"]).reset_index(drop=True)
+    assert len(edges) == 2
+    assert edges.loc[0, "conv_id"] == "c1" and edges.loc[0, "failed"] == 0
+    assert edges.loc[0, "latency_us"] == 500_000
+    assert edges.loc[1, "conv_id"] == "c2" and edges.loc[1, "failed"] == 1
+    assert edges.loc[1, "client_role"] == "user"
+
+    red = red_metrics(edge_table(ds)).to_pandas()
+    bash = red[red["tool"] == "bash"]
+    assert bash["n"].sum() == 2 and bash["failed"].sum() == 1
+
+
+def test_latency_bucket_semantics():
+    # searchsorted 'left' == Go sort.SearchFloat64s (connector.go:456-479)
+    assert np.searchsorted(DEFAULT_LATENCY_BOUNDS, 0.5, side="left") == 9
+    assert np.searchsorted(DEFAULT_LATENCY_BOUNDS, 0.002, side="left") == 0
+    assert np.searchsorted(DEFAULT_LATENCY_BOUNDS, 100.0, side="left") == 16
+    ds = make_ds(
+        [
+            ("c1", 0, "assistant", "[INFO] x call:bash(q1)", "", "2024-01-01T00:00:00.000000"),
+            ("c1", 1, "tool", "[INFO] y k=1", "bash", "2024-01-01T00:00:00.500000"),
+        ]
+    )
+    hist = latency_histogram(edge_table(ds)).to_pandas()
+    assert hist.iloc[0]["bucket_idx"] == 9 and hist.iloc[0]["n"] == 1

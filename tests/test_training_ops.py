@@ -1,0 +1,183 @@
+"""Training-data operator tests: dedup family, text analysis, similarity search,
+multimodal plumbing — each validated against a small brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from sts_opentelemetry_collector_ray.stages.dedup_docs import (
+    _shingles,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sts_opentelemetry_collector_ray.stages.multimodal import (
+    MediaDecodeActor,
+    decode_stage,
+    synthesize_media_batch,
+)
+from sts_opentelemetry_collector_ray.stages.similarity import brute_force_topk, lsh_topk
+from sts_opentelemetry_collector_ray.stages.text_analysis import (
+    LangIdActor,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over a lazy dog",  # near dup of 0
+        "completely different content about spark and ray data pipelines",
+        "spark and ray data pipelines process completely different content",
+        "short",
+    ]
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def test_exact_dedup(docs):
+    ds = ray.data.from_pandas(docs)
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2, 3, 4, 5]  # doc 1 collapsed into 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    ds = ray.data.from_pandas(docs)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert not any(3 in p and 0 in p for p in got)
+    # verified jaccard present and correct for the exact dup
+    j01 = pairs[(pairs["a"] == 0) & (pairs["b"] == 1)]["jaccard"].iloc[0]
+    assert j01 == 1.0
+
+
+def test_ngram_jaccard_is_exact_oracle(docs):
+    ds = ray.data.from_pandas(docs)
+    got = ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+    got_pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+    # brute-force oracle
+    sh = [set(_shingles(t, 5).tolist()) for t in docs["text"]]
+    exp = set()
+    for i in range(len(sh)):
+        for j in range(i + 1, len(sh)):
+            union = len(sh[i] | sh[j])
+            if union and len(sh[i] & sh[j]) / union >= 0.3:
+                exp.add((i, j))
+    assert got_pairs == exp
+
+
+def test_simhash_pairs(docs):
+    ds = ray.data.from_pandas(docs)
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in got  # identical text → hamming 0
+    assert pairs[(pairs["a"] == 0) & (pairs["b"] == 1)]["hamming"].iloc[0] == 0
+
+
+def test_embedding_neardup_and_topk():
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    base[5] = base[0] + 0.01 * rng.standard_normal(16)  # near-dup pair (0, 5)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(20, dtype=np.int64), "embedding": [v.tolist() for v in base]}
+    )
+    ds = ray.data.from_pandas(df)
+    pairs = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+    assert (0, 5) in set(map(tuple, pairs[["a", "b"]].to_numpy()))
+
+    # brute-force top-k vs numpy oracle
+    qids = np.array([0, 3])
+    topk = brute_force_topk(ds, base[qids], qids, k=3)
+    unit = base / np.linalg.norm(base, axis=1)[:, None]
+    sims = unit @ unit[qids].T
+    for qi, qid in enumerate(qids):
+        col = sims[:, qi].copy()
+        col[qid] = -np.inf
+        exp = np.argsort(-col, kind="stable")[:3]
+        got = topk[topk["query_id"] == qid].sort_values("rank")["neighbor_id"].to_numpy()
+        assert list(got) == list(exp)
+
+    # LSH recall against the exact baseline — clustered vectors (LSH's use case:
+    # near-dup neighborhoods share hyperplane buckets; random orthogonal vectors
+    # would legitimately scatter)
+    centers = rng.standard_normal((4, 16))
+    clustered = np.vstack(
+        [centers[i % 4] + 0.05 * rng.standard_normal(16) for i in range(40)]
+    )
+    cdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [v.tolist() for v in clustered],
+        }
+    )
+    cds = ray.data.from_pandas(cdf)
+    cqids = np.array([0, 1])
+    exact = brute_force_topk(cds, clustered[cqids], cqids, k=3)
+    lsh = lsh_topk(cds, clustered[cqids], cqids, k=3, num_planes=4)
+    inter = set(map(tuple, lsh[["query_id", "neighbor_id"]].to_numpy())) & set(
+        map(tuple, exact[["query_id", "neighbor_id"]].to_numpy())
+    )
+    assert len(inter) >= 4  # high recall on clustered data
+
+
+def test_token_count_and_quality(docs):
+    t = pa.table({"doc_id": docs["doc_id"], "text": docs["text"]})
+    out = token_count_batch(t)
+    assert out["n_tokens"].to_pylist()[0] == 9
+    assert out["n_tokens"].to_pylist()[5] == 1
+    q = quality_score_batch(t)
+    assert q["n_chars_actual"].to_pylist()[5] == 5
+    assert 0 <= q["stopword_ratio"].to_pylist()[0] <= 1
+
+
+def test_fingerprint_deterministic(docs):
+    t = pa.table({"text": docs["text"]})
+    a = fingerprint_batch(t)["fingerprint"].to_pylist()
+    b = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert a == b
+    assert a[0] == a[1]  # identical text, identical fingerprint
+    assert a[0] != a[3]
+    # matches the scalar rolling hash definition
+    def scalar(s):
+        acc = 0
+        for ch in s.encode():
+            acc = (acc * 131 + ch) % 2147483647
+        return acc
+    assert a[0] == scalar(docs["text"][0])
+
+
+def test_langid_actor(docs):
+    t = pa.table({"text": ["the cat and the dog are in the house",
+                           "el perro y el gato en la casa"]})
+    out = LangIdActor()(t)
+    assert out["lang_pred"].to_pylist()[0] == "en"
+    assert out["lang_pred"].to_pylist()[1] == "es"
+
+
+def test_multimodal_plumbing(docs):
+    t = pa.table({"doc_id": docs["doc_id"], "text": docs["text"]})
+    media = synthesize_media_batch(t)
+    assert media.schema.field("payload").type == pa.binary()
+    dec = MediaDecodeActor()(media)
+    assert dec.schema.field("features").type == pa.list_(pa.float64())
+    assert len(dec["features"].to_pylist()[0]) == 8
+    # deterministic across calls
+    dec2 = MediaDecodeActor()(media)
+    assert dec["features"].to_pylist() == dec2["features"].to_pylist()
+    # strict mode marks the real decode boundary
+    with pytest.raises(NotImplementedError):
+        MediaDecodeActor(strict=True)(media)
+    # full Ray path
+    ds = ray.data.from_arrow(media)
+    out = decode_stage(ds, concurrency=2).to_pandas()
+    assert len(out) == len(docs)
+    assert "payload" not in out.columns  # heavy bytes dropped post-decode
