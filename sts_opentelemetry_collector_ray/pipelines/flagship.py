@@ -194,18 +194,16 @@ def _run_partition(
     if sort_output and not dedup:
         routed = routed.sort(SORT_KEY)
     t_route = time.time()
+    # Materialize once per partition (a partition is sized to fit the object
+    # store — that is the point of partitioning), then write AND aggregate from
+    # the same blocks: no second execution, no parquet read-back.
+    routed = routed.materialize()
     routed.write_parquet(
         os.path.join(part_dir, "routed"), partition_cols=["sink"], mode="overwrite"
     )
     t_write = time.time()
 
-    # Per-partition aggregate partials + per-sink/error counts from the written
-    # output in ONE pass (reading the fresh parquet back is cheap and avoids
-    # re-executing the routed pipeline a second time for metrics).
-    written = ray.data.read_parquet(
-        os.path.join(part_dir, "routed"),
-        columns=["sink", "role", "tool", "error"],
-    )
+    written = routed.select_columns(["sink", "role", "tool", "error"])
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -70,7 +70,7 @@ routes AS (
   UNION ALL
   SELECT 'metrics_tools', 'urn:mapping:tool-calls', 'CREATE',
          'urn:tool/' || tool || '/call/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
-         conv_id, turn_idx, role, tool, severity, text
+         conv_id, turn_idx, role, tool, severity, CAST(NULL AS VARCHAR)
   FROM parsed WHERE tool <> '' AND role = 'tool'
   UNION ALL
   SELECT 'logs_diag', 'urn:mapping:diag-turns', 'CREATE',
@@ -80,7 +80,7 @@ routes AS (
   UNION ALL
   SELECT 'topology_relations', 'urn:mapping:conv-uses-tool', 'CREATE',
          'urn:conv/' || conv_id || '-urn:tool/' || tool,
-         conv_id, turn_idx, role, tool, severity, text
+         conv_id, turn_idx, role, tool, severity, CAST(NULL AS VARCHAR)
   FROM parsed WHERE tool <> ''
   UNION ALL
   SELECT 'logs_all', 'urn:mapping:session-delete', 'DELETE',

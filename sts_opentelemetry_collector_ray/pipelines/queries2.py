@@ -40,7 +40,7 @@ from ..stages.text_analysis import (
 )
 from ..sources.transcripts import derive_transcripts_from_events
 from .flagship import routed_dataset
-from .queries import _PARSED_SQL, STOP_SQL_LIST
+from .queries import _PARSED_SQL, _ROUTES_SQL, STOP_SQL_LIST
 
 EDGE_COLS = ["conv_id", "client_turn", "server_turn", "client_role", "tool", "failed", "latency_us"]
 
@@ -177,7 +177,54 @@ def q_emb_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.45)
 
 
+# -- export-side operators ---------------------------------------------------
+
+def _routed(sf_dir: str):
+    return routed_dataset(
+        derive_transcripts_from_events(sf_dir), dedup=False, enrich_concurrency=2
+    )
+
+
+def q_usage_bytes(sf_dir: str):
+    """stsusageprocessor analogue (A7): UTF-8 payload bytes metered per sink."""
+    from ..stages.export import usage_bytes
+
+    return usage_bytes(_routed(sf_dir))
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic tail-sampling analogue (O4): FNV(conv:turn) % 100 < 10."""
+    from ..stages.export import hash_sample
+
+    return hash_sample(derive_transcripts_from_events(sf_dir), pct=10)
+
+
+def q_topology_collections(sf_dir: str):
+    """ststopologyexporter analogue (K6): per-tenant collection with
+    deterministically sorted component/relation ids (counts oracled in SQL,
+    payload JSON asserted in unit tests)."""
+    from ..stages.export import topology_collections
+
+    ds = topology_collections(_routed(sf_dir), key_col="role")
+    return ds.select_columns(["key", "n_components", "n_relations"])
+
+
+def q_resources_dedup(sf_dir: str):
+    """clickhouse resources analogue (K5): one row per distinct attr projection."""
+    from ..stages.export import resource_dedup
+
+    ds = resource_dedup(derive_transcripts_from_events(sf_dir), ["role", "tool"])
+    return ds.select_columns(["role", "tool"])
+
+
 _BOUNDS_SQL = "[" + ", ".join(str(b) for b in DEFAULT_LATENCY_BOUNDS) + "]"
+
+_FNV_PCT = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "list_transform(string_split(conv_id || ':' || CAST(turn_idx AS VARCHAR), ''), "
+    "c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 100"
+)
 
 ORACLES2: dict[str, str] = {
     "sg_edges": _EDGES_SQL
@@ -234,6 +281,18 @@ FROM ranked WHERE rank <= 10""",
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+    "usage_bytes": _ROUTES_SQL
+    + "SELECT sink, SUM(COALESCE(length(text), 0)) AS total_bytes FROM routes GROUP BY sink",
+    "hash_sample": _PARSED_SQL
+    + f"SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts WHERE {_FNV_PCT} < 10",
+    "topology_collections": _ROUTES_SQL
+    + """SELECT role AS key,
+       CAST(count(DISTINCT CASE WHEN data_source <> 'urn:mapping:conv-uses-tool'
+                                THEN external_id END) AS BIGINT) AS n_components,
+       CAST(count(DISTINCT CASE WHEN data_source = 'urn:mapping:conv-uses-tool'
+                                THEN external_id END) AS BIGINT) AS n_relations
+FROM routes GROUP BY role""",
+    "resources_dedup": _PARSED_SQL + "SELECT DISTINCT role, tool FROM transcripts",
 }
 
 QUERIES2 = {
@@ -252,4 +311,8 @@ QUERIES2 = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "emb_neardup": q_emb_neardup,
+    "usage_bytes": q_usage_bytes,
+    "hash_sample": q_hash_sample,
+    "topology_collections": q_topology_collections,
+    "resources_dedup": q_resources_dedup,
 }

@@ -110,6 +110,11 @@ class Rule:
     sink: str = "default"
     expire_after_ms: int = 900_000
     specificity: int = 100
+    # Whether routed rows carry the raw turn text. The reference's topology
+    # messages carry only the PROJECTED payload (identifier/name/tags —
+    # topo_stream.pb.go:74-282), not the raw log body; metrics/relation sinks
+    # here do the same, halving shuffle bytes. Log-style sinks keep the body.
+    carry_text: bool = True
 
 
 @dataclass
@@ -245,6 +250,7 @@ def default_ruleset() -> list[CompiledRule]:
             identifier_expr="'urn:tool/' + tool + '/call/' + conv_id + '/' + string(turn_idx)",
             name_expr="tool",
             type_name_expr="'tool-call'",
+            carry_text=False,
         ),
         ComponentRule(
             identifier="urn:mapping:diag-turns",
@@ -264,6 +270,7 @@ def default_ruleset() -> list[CompiledRule]:
             target_id_expr="'urn:tool/' + tool",
             type_name_expr="'uses'",
             dependency_type_expr="'connection'",
+            carry_text=False,
         ),
         ComponentRule(
             identifier="urn:mapping:session-delete",

@@ -37,8 +37,14 @@ ATTR_PATTERN = r"(attr\.[A-Za-z0-9_.]+)=(\S+)"
 def _extract_attrs(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """k=v attribute pairs → map<string,string>. Vectorized pre-mask; the row loop
     only touches rows that actually contain `attr.` tokens (~a third of synthetic
-    rows, none of the events-derived rows)."""
+    rows, none of the events-derived rows).
+
+    Sensitive routing keys are deleted at construction, BEFORE any rule can see
+    them — the reference strips sts_api_key/client_sts_api_key/server_sts_api_key
+    when building the attribute views (model.go:23-28)."""
     import re
+
+    from ..rules.model import SENSITIVE_ATTRS
 
     pat = re.compile(ATTR_PATTERN)
     has = pc.match_substring(text_col, "attr.")
@@ -48,7 +54,11 @@ def _extract_attrs(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
         flags = has.to_pylist()
         for i, (t, f) in enumerate(zip(texts, flags)):
             if f and t is not None:
-                out[i] = pat.findall(t)
+                out[i] = [
+                    (k, v)
+                    for k, v in pat.findall(t)
+                    if k.split("attr.", 1)[-1] not in SENSITIVE_ATTRS
+                ]
     return pa.array(out, pa.map_(pa.string(), pa.string()))
 
 

@@ -325,7 +325,7 @@ class Router:
         }
         for c in _CARRY:
             vals = env.get(c)
-            if vals is None:
+            if vals is None or (c == "text" and not rule.rule.carry_text):
                 cols[c] = pa.nulls(m, ROUTED_SCHEMA.field(c).type)
             else:
                 cols[c] = pa.array(vals[idx], ROUTED_SCHEMA.field(c).type)

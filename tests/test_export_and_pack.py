@@ -1,0 +1,133 @@
+"""Tests for export-side operators (K5/K6/A7/O4 analogues), envelope packing (A5)
+and ruleset diff tombstones (D2)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from sts_opentelemetry_collector_ray import ENVELOPE_MAX_BYTES, SHARD_COUNT
+from sts_opentelemetry_collector_ray.functions import fnv1a32
+from sts_opentelemetry_collector_ray.rules.diff import ruleset_diff, ruleset_identifiers
+from sts_opentelemetry_collector_ray.rules.model import ComponentRule, default_ruleset
+from sts_opentelemetry_collector_ray.stages.export import (
+    hash_sample,
+    resource_dedup,
+    topology_collections,
+    usage_bytes,
+)
+from sts_opentelemetry_collector_ray.stages.pack import _pack_group, pack_envelopes
+
+
+def routed_frame():
+    return pd.DataFrame(
+        {
+            "sink": ["logs_all"] * 4 + ["topology_relations"] * 2,
+            "data_source": ["m1"] * 4 + ["mrel"] * 2,
+            "shard_id": ["0", "1", "0", "1", "2", "2"],
+            "external_id": ["u:b", "u:a", "u:c", "u:a", "r:x-y", "r:y-z"],
+            "source_id": [None, None, None, None, "x", "y"],
+            "conv_id": ["c1", "c1", "c2", "c2", "c1", "c2"],
+            "turn_idx": np.array([0, 1, 0, 1, 2, 3], dtype=np.int32),
+            "role": ["user"] * 6,
+            "tool": [""] * 6,
+            "name": ["n"] * 6,
+            "type_name": ["t"] * 6,
+            "tags": [None] * 6,
+            "text": ["hello world"] * 6,
+            "error": [None] * 6,
+        }
+    )
+
+
+def test_topology_collections_sorted_deterministic():
+    ds = ray.data.from_pandas(routed_frame())
+    out = topology_collections(ds, key_col="role").to_pandas()
+    assert len(out) == 1
+    payload = json.loads(out["payload"].iloc[0])
+    # components & relations sorted by external id before emit (topology.go:335-355)
+    assert payload["components"] == sorted(payload["components"])
+    assert payload["relations"] == ["r:x-y", "r:y-z"]
+    assert out["n_components"].iloc[0] == 3  # u:a deduped across rows
+
+
+def test_resource_dedup():
+    df = pd.DataFrame(
+        {"role": ["user", "user", "tool"], "tool": ["", "", "bash"]}
+    )
+    out = resource_dedup(ray.data.from_pandas(df), ["role", "tool"]).to_pandas()
+    assert len(out) == 2
+    assert set(out.columns) == {"role", "tool", "resource_ref"}
+
+
+def test_usage_bytes():
+    ds = ray.data.from_pandas(routed_frame())
+    out = usage_bytes(ds).to_pandas().set_index("sink")["total_bytes"]
+    assert out["logs_all"] == 4 * len("hello world")
+
+
+def test_hash_sample_deterministic():
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(1000)],
+            "turn_idx": np.arange(1000, dtype=np.int32),
+        }
+    )
+    out = hash_sample(ray.data.from_pandas(df), pct=10).to_pandas()
+    # matches the scalar definition exactly
+    exp = [
+        (c, t)
+        for c, t in zip(df["conv_id"], df["turn_idx"])
+        if fnv1a32(f"{c}:{t}") % 100 < 10
+    ]
+    assert set(zip(out["conv_id"], out["turn_idx"])) == set(exp)
+    assert 50 < len(out) < 150  # ~10%
+
+
+def test_pack_byte_cap_and_order():
+    g = routed_frame()
+    g = pd.concat([g] * 200, ignore_index=True)  # make it big enough to split
+    g = g[g["data_source"] == "m1"].copy()
+    g["shard_id"] = "0"
+    out = _pack_group(4096)(g)
+    assert (out["bytes"] <= 4096).all()
+    assert out["envelope_idx"].tolist() == list(range(len(out)))
+    assert out["n_rows"].sum() == len(g)
+    # first-seen order: first envelope starts at the smallest (conv, turn)
+    assert out.iloc[0]["first_conv"] == "c1" and out.iloc[0]["first_turn"] == 0
+
+
+def test_pack_envelopes_ray():
+    ds = ray.data.from_pandas(routed_frame())
+    out = pack_envelopes(ds).to_pandas()
+    assert out["n_rows"].sum() == 6
+    assert (out["bytes"] <= ENVELOPE_MAX_BYTES).all()
+    # grouped by (data_source, shard_id)
+    assert len(out) == len(out.drop_duplicates(["data_source", "shard_id", "envelope_idx"]))
+
+
+def test_ruleset_diff_tombstones():
+    old = default_ruleset()
+    new = [r for r in old if r.rule.identifier != "urn:mapping:error-turns"]
+    removed, added, tomb = ruleset_diff(old, new)
+    assert removed == ["urn:mapping:error-turns"] and added == []
+    assert tomb.num_rows == SHARD_COUNT  # one Remove per shard (message_builder.go:85-110)
+    assert set(tomb["shard_id"].to_pylist()) == {"0", "1", "2", "3"}
+    assert set(tomb["action"].to_pylist()) == {"REMOVE"}
+    # changed rule == removed + added (serialized comparison)
+    changed = [
+        ComponentRule(
+            identifier="urn:mapping:all-turns",
+            sink="other_sink",
+            identifier_expr="'x'",
+            type_name_expr="'t'",
+        ).compile()
+    ] + [r for r in old if r.rule.identifier != "urn:mapping:all-turns"]
+    removed2, added2, _ = ruleset_diff(old, changed)
+    assert "urn:mapping:all-turns" in removed2 and "urn:mapping:all-turns" in added2
+    # identity diff is empty
+    r3, a3, t3 = ruleset_diff(old, old)
+    assert r3 == [] and a3 == [] and t3.num_rows == 0

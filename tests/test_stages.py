@@ -193,3 +193,44 @@ def test_dedup_key_projection_insensitive_to_unreferenced_cols():
     b = _routed([{"text": "[ERROR] two totally different", "conv_id": "cX"}], [rule]).to_pylist()[0]
     assert a["dedup_key"] == b["dedup_key"]
     assert rule.referenced_columns == {"severity"}
+
+
+def test_sensitive_attrs_stripped():
+    # model.go:23-28 — routing keys deleted before any rule can see them
+    t = turns_table([{"text": "[INFO] x attr.sts_api_key=secret attr.env=prod"}])
+    attrs = dict(parse_batch(t)["attrs"].to_pylist()[0])
+    assert attrs == {"attr.env": "prod"}
+
+
+def test_load_ruleset_from_json_file(tmp_path):
+    # S4 file settings provider analogue: rules as data, loaded from disk
+    import json as _json
+
+    from sts_opentelemetry_collector_ray.rules.model import load_ruleset
+
+    spec = [
+        {
+            "identifier": "urn:mapping:file-rule",
+            "sink": "s1",
+            "condition": "severity == 'ERROR'",
+            "identifier_expr": "'u:' + conv_id",
+            "type_name_expr": "'t'",
+            "regex_tags": [
+                {"source": "attrs", "pattern": "^attr\\.(.+)$", "target": "t.${1}"}
+            ],
+        },
+        {
+            "kind": "relation",
+            "identifier": "urn:mapping:file-rel",
+            "sink": "rels",
+            "source_id_expr": "'a:' + conv_id",
+            "target_id_expr": "'b:' + tool",
+            "type_name_expr": "'uses'",
+        },
+    ]
+    p = tmp_path / "rules.json"
+    p.write_text(_json.dumps(spec))
+    rules = load_ruleset(str(p))
+    assert len(rules) == 2 and rules[1].is_relation
+    out = _routed([{"text": "[ERROR] x", "tool": "bash"}], rules).to_pylist()
+    assert {r["data_source"] for r in out} == {"urn:mapping:file-rule", "urn:mapping:file-rel"}
