@@ -27,8 +27,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from sts_opentelemetry_collector_ray.pipelines.queries import QUERIES
     from sts_opentelemetry_collector_ray.pipelines.queries2 import QUERIES2
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import QUERIES3
 
-    return {**QUERIES, **QUERIES2}
+    return {**QUERIES, **QUERIES2, **QUERIES3}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -37,5 +38,6 @@ def oracle_sql() -> dict[str, str]:
     brute-force oracles live in tests/."""
     from sts_opentelemetry_collector_ray.pipelines.queries import ORACLES
     from sts_opentelemetry_collector_ray.pipelines.queries2 import ORACLES2
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3
 
-    return {**ORACLES, **ORACLES2}
+    return {**ORACLES, **ORACLES2, **ORACLES3}

@@ -1,0 +1,90 @@
+"""Driver-contract queries, wave 3: metric-type dispatch (K4), log-body
+normalization (M14), BPE-ish regex token counting, multimodal feature plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages.body import normalize_body
+from ..stages.metrics_dispatch import TYPE_MODEL, metrics_dispatch
+from ..stages.multimodal import decode_stage, synthesize_media_batch
+from ..stages.text_analysis import STOPWORDS  # noqa: F401  (shared surface)
+
+# Disjoint alternation → identical token boundaries under Python re (leftmost-first)
+# and RE2 (leftmost-longest): word runs | digit runs | single other non-space.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_metrics_dispatch(sf_dir: str):
+    """K4: one typed model per datapoint + per-model derived buckets."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return metrics_dispatch(ds).select_columns(
+        ["event_id", "model", "hist_bucket", "exp_bucket"]
+    )
+
+
+def q_body_normalize(sf_dir: str):
+    """M14: polymorphic body → (kind, canonical JSON | string fallback, keys)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return normalize_body(ds, col="props").select_columns(
+        ["event_id", "body_kind", "body", "body_keys"]
+    )
+
+
+def q_docs_token_count_bpe(sf_dir: str):
+    """BPE-ish regex token count over documents (word/digit/punct alternation)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_bpe_tokens"] = df["text"].str.count(BPE_ISH_PATTERN).astype("int64")
+        return df[["doc_id", "n_bpe_tokens"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: synthesize binary payloads → actor-pool
+    decode (deterministic fake kernel; the real decoder slot is marked with
+    strict=True → NotImplementedError) → typed feature columns. Rows-only check:
+    list<float> features aren't SQL-comparable."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    return decode_stage(media, concurrency=2).select_columns(
+        ["media_id", "media_type", "n_bytes", "features"]
+    )
+
+
+def _model_case() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_MODEL.items())
+    return f"CASE event_type {arms} ELSE 'gauge' END"
+
+
+ORACLES3: dict[str, str] = {
+    "metrics_dispatch": f"""
+SELECT event_id,
+       {_model_case()} AS model,
+       CAST(len(list_filter([10.0, 50.0, 100.0, 500.0], b -> b < value)) AS INTEGER) AS hist_bucket,
+       CAST(CASE WHEN value > 0 THEN ceil(log2(value)) ELSE 0 END AS INTEGER) AS exp_bucket
+FROM events""",
+    "body_normalize": """
+SELECT event_id,
+       'map' AS body_kind,
+       '{"k":' || regexp_extract(props, '"k": (\\d+)', 1) || '}' AS body,
+       'k' AS body_keys
+FROM events""",
+    "docs_token_count_bpe": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+}
+
+QUERIES3 = {
+    "metrics_dispatch": q_metrics_dispatch,
+    "body_normalize": q_body_normalize,
+    "docs_token_count_bpe": q_docs_token_count_bpe,
+    "media_features": q_media_features,
+}
