@@ -4,7 +4,6 @@ normalization (M14), BPE-ish regex token counting, multimodal feature plumbing."
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 import ray.data
 
 from ..stages.body import normalize_body

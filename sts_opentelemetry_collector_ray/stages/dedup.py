@@ -126,7 +126,12 @@ def _sorted_first_wins(t: "pa.Table") -> "pa.Table":
     return t.filter(pa.array(keep))
 
 
-def _finalize_local(num_buckets: int, nonlocal_sources: frozenset):
+def _finalize_local(
+    num_buckets: int,
+    nonlocal_sources: frozenset,
+    saltable_sources: frozenset = frozenset(),
+    salt_span: int | None = None,
+):
     """Per-batch: local first-wins combiner + bucket assignment.
 
     Bucket choice is the key insight: a dedup key whose rule references ``conv_id``
@@ -134,20 +139,42 @@ def _finalize_local(num_buckets: int, nonlocal_sources: frozenset):
     ``hash(conv_id) % B`` co-locates all their duplicates AND all rows needed for
     per-conversation ordering — dedup and sort share one shuffle. Only rules whose
     expressions never touch ``conv_id`` (cross-conversation keys) bucket by
-    ``dedup_key % B`` instead; their ordering is still per-bucket sorted."""
+    ``dedup_key % B`` instead; their ordering is still per-bucket sorted.
+
+    Hot-key salting (opt-in, ``salt_span``): a pathological conversation (an agent
+    loop with 10⁶+ turns) would land entirely in one bucket task. Rows whose rule
+    references BOTH conv_id and turn_idx have row-unique dedup keys (duplicates
+    can only be exact (conv, turn) repeats, which share a salt chunk), so those
+    rows may be salted into ``hash(conv ⊕ turn_idx // span)`` buckets without
+    breaking dedup; rows from conv-local-but-not-turn-local rules (e.g. the
+    relation rule) must stay whole and keep the plain conv bucket. Ordering
+    weakens from per-conversation to per-salt-chunk — the explicit trade the
+    reference makes implicitly when a key's Kafka partition saturates."""
     from ..functions.hashing import fnv1a32_arrow
 
     def fn(t: pa.Table) -> pa.Table:
         t = _sorted_first_wins(t)
-        conv_bucket = (
-            fnv1a32_arrow(t["conv_id"].combine_chunks()) % np.uint64(num_buckets)
-        ).astype(np.int32)
-        if nonlocal_sources:
+        conv_hash = fnv1a32_arrow(t["conv_id"].combine_chunks())
+        conv_bucket = (conv_hash % np.uint64(num_buckets)).astype(np.int32)
+        bucket = conv_bucket
+        ds_col = None
+        if salt_span and saltable_sources:
             ds_col = t["data_source"].to_numpy(zero_copy_only=False)
+            saltable = np.isin(ds_col, list(saltable_sources))
+            if saltable.any():
+                chunk = (
+                    t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    // np.uint64(salt_span)
+                )
+                salted = ((conv_hash ^ (chunk * np.uint64(0x9E3779B1))) % np.uint64(num_buckets)).astype(np.int32)
+                bucket = np.where(saltable, salted, conv_bucket)
+        if nonlocal_sources:
+            if ds_col is None:
+                ds_col = t["data_source"].to_numpy(zero_copy_only=False)
             col = t["dedup_key"].combine_chunks()
             nonnull = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
             is_nl = np.isin(ds_col, list(nonlocal_sources)) & nonnull
-            bucket = conv_bucket.copy()
+            bucket = np.asarray(bucket).copy()
             if is_nl.any():
                 dk = np.asarray(
                     pc.fill_null(col, 0).to_numpy(zero_copy_only=False),
@@ -156,9 +183,7 @@ def _finalize_local(num_buckets: int, nonlocal_sources: frozenset):
                 bucket[is_nl] = (
                     dk[is_nl] % np.uint64(num_buckets)
                 ).astype(np.int32) + np.int32(num_buckets)
-        else:
-            bucket = conv_bucket
-        return t.append_column("_bucket", pa.array(bucket, pa.int32()))
+        return t.append_column("_bucket", pa.array(np.asarray(bucket, dtype=np.int32), pa.int32()))
 
     return fn
 
@@ -173,6 +198,7 @@ def finalize_routed(
     ds: "ray.data.Dataset",
     rules=None,
     num_buckets: int = 64,
+    salt_span: int | None = None,
 ) -> "ray.data.Dataset":
     """Dedup + per-conversation ordering with a single full-payload shuffle.
 
@@ -183,10 +209,12 @@ def finalize_routed(
     monotone (sink, conv, turn) runs per bucket — the per-partition ordering
     guarantee of the reference's Kafka keying (message_builder.go:196-203).
 
-    Skew: buckets are hash-uniform over conversations; a single pathological
-    conversation larger than a worker heap would need turn-range salting (accepted
-    limitation, documented — counts are unaffected because the aggregate branch
-    pre-combines per batch)."""
+    Skew: buckets are hash-uniform over conversations. For corpora with
+    pathological hot conversations (≫ a worker heap), pass ``salt_span`` (e.g.
+    100_000): rows from turn-unique rules are salted into per-turn-range buckets
+    — see `_finalize_local` for why this provably preserves dedup exactness —
+    while non-turn-local rules keep whole-conversation buckets. Counts are
+    unaffected either way (the aggregate branch pre-combines per batch)."""
     from ..rules.model import default_ruleset
 
     rules = rules if rules is not None else default_ruleset()
@@ -195,7 +223,21 @@ def finalize_routed(
         for r in rules
         if r.action == "CREATE" and "conv_id" not in r.referenced_columns
     )
+    # Saltable = rows guaranteed free of cross-salt-chunk duplicates, for two
+    # DIFFERENT reasons that must both stay true:
+    #  (a) CREATE rules referencing both conv_id and turn_idx → dedup key is
+    #      row-unique (duplicates only as exact (conv, turn) repeats, which land
+    #      in the same salt chunk);
+    #  (b) non-CREATE rules → route.py emits NULL dedup_key for every
+    #      DELETE/error row, so they are never dedup-gated at all. If tombstones
+    #      ever gain a dedup key (e.g. for anti-join matching), drop this arm.
+    saltable_sources = frozenset(
+        r.rule.identifier
+        for r in rules
+        if {"conv_id", "turn_idx"} <= r.referenced_columns or r.action != "CREATE"
+    )
     pre = ds.map_batches(
-        _finalize_local(num_buckets, nonlocal_sources), batch_format="pyarrow"
+        _finalize_local(num_buckets, nonlocal_sources, saltable_sources, salt_span),
+        batch_format="pyarrow",
     )
     return pre.groupby("_bucket").map_groups(_finalize_bucket, batch_format="pyarrow")

@@ -193,3 +193,39 @@ def test_manifests_and_resume(multi_file_transcripts, tmp_path):
     a = read_routed(out).sort_values(key).reset_index(drop=True)
     b = read_routed(ref_out).sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
+
+
+def test_torn_manifest_reprocessed(multi_file_transcripts, tmp_path):
+    """A corrupted (torn-write) manifest must cause reprocessing, not a crash."""
+    out = str(tmp_path / "torn")
+    flagship_run(multi_file_transcripts, out, num_partitions=2, enrich_concurrency=2)
+    mpath = glob.glob(os.path.join(out, "_manifests", "*.json"))[0]
+    with open(mpath, "w") as f:
+        f.write('{"pid": 0, "truncated')  # torn write
+    r = flagship_run(multi_file_transcripts, out, num_partitions=2, enrich_concurrency=2)
+    assert r.partitions_skipped == 1  # only the intact manifest skips
+    assert json.load(open(mpath))["routed_rows"] > 0  # rewritten whole
+
+
+def test_salted_finalize_preserves_dedup_and_counts(multi_file_transcripts):
+    """Opt-in hot-conversation salting: identical surviving row set (salting only
+    re-buckets turn-unique rows, which cannot have cross-chunk duplicates)."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.pipelines.flagship import routed_dataset
+    from sts_opentelemetry_collector_ray.rules.model import default_ruleset
+    from sts_opentelemetry_collector_ray.stages.dedup import finalize_routed
+    from sts_opentelemetry_collector_ray.stages.enrich import enrich_stage
+    from sts_opentelemetry_collector_ray.stages.parse import parse_stage
+    from sts_opentelemetry_collector_ray.stages.route import route_stage
+
+    ds = ray.data.read_parquet(sorted(glob.glob(f"{multi_file_transcripts}/*.parquet")))
+    routed = route_stage(enrich_stage(parse_stage(ds), concurrency=2))
+    plain = finalize_routed(routed).to_pandas()
+    ds2 = ray.data.read_parquet(sorted(glob.glob(f"{multi_file_transcripts}/*.parquet")))
+    routed2 = route_stage(enrich_stage(parse_stage(ds2), concurrency=2))
+    salted = finalize_routed(routed2, salt_span=8).to_pandas()
+    key = ["sink", "data_source", "conv_id", "turn_idx", "action"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = salted[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

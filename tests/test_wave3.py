@@ -40,3 +40,18 @@ def test_body_normalize_fallback_chain():
     assert out["body"].to_pylist()[1] == "not json {"  # string fallback
     assert out["body_keys"].to_pylist()[0] == "a,k"
     assert out["body_keys"].to_pylist()[1] is None
+
+
+def test_write_typed_sinks(tmp_path):
+    # K4 "5 typed tables": one parquet directory per metric model
+    import os
+
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.metrics_dispatch import write_typed_sinks
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "typed")
+    write_typed_sinks(ds, out)
+    models = sorted(d.split("=")[1] for d in os.listdir(out) if d.startswith("model="))
+    assert models == ["exp_histogram", "gauge", "histogram", "sum", "summary"]
