@@ -80,6 +80,7 @@ def routed_dataset(
     enrich_concurrency: int = 4,
     route_concurrency: int | None = None,
     dedup: bool = True,
+    salt_span: int | None = None,
 ) -> "ray.data.Dataset":
     """parse → enrich → route (→ dedup+order) as one lazy Dataset (no writes)."""
     out = route_stage(
@@ -88,7 +89,7 @@ def routed_dataset(
         concurrency=route_concurrency,
     )
     if dedup:
-        out = finalize_routed(out, rules=rules)
+        out = finalize_routed(out, rules=rules, salt_span=salt_span)
     return out
 
 
@@ -109,6 +110,8 @@ def flagship_run(
     sort_output: bool = True,
     max_partitions: int | None = None,  # test hook: stop after k (simulated failure)
     partition_parallelism: int = 2,
+    output_partition_cols: list[str] | None = None,
+    salt_span: int | None = None,
 ) -> FlagshipResult:
     """Run the flagship over ``input_dir``, checkpointing per input partition.
 
@@ -148,6 +151,8 @@ def flagship_run(
             dedup=dedup, sort_output=sort_output,
             enrich_concurrency=enrich_concurrency,
             route_concurrency=route_concurrency,
+            output_partition_cols=output_partition_cols,
+            salt_span=salt_span,
         )
         pm.update(input_fingerprint=ifp, ruleset_fingerprint=rfp, input_files=entries)
         write_manifest(out_dir, pid, pm)
@@ -179,6 +184,8 @@ def _run_partition(
     sort_output: bool,
     enrich_concurrency: int,
     route_concurrency: int,
+    output_partition_cols: list[str] | None = None,
+    salt_span: int | None = None,
 ) -> dict:
     t0 = time.time()
     part_dir = os.path.join(out_dir, f"part-{pid:05d}")
@@ -188,6 +195,7 @@ def _run_partition(
         enrich_concurrency=enrich_concurrency,
         route_concurrency=route_concurrency,
         dedup=dedup,
+        salt_span=salt_span,
     )
     # dedup=True already yields bucket-sorted output (finalize_routed: dedup and
     # ordering share one shuffle); only the no-dedup path needs an explicit sort.
@@ -199,7 +207,11 @@ def _run_partition(
     # the same blocks: no second execution, no parquet read-back.
     routed = routed.materialize()
     routed.write_parquet(
-        os.path.join(part_dir, "routed"), partition_cols=["sink"], mode="overwrite"
+        os.path.join(part_dir, "routed"),
+        # default ["sink"]; pass ["sink", "shard_id"] for the reference's exact
+        # keyed layout out/<sink>/shard_id=<k>/ (stskafkaexporter keying, K1)
+        partition_cols=output_partition_cols or ["sink"],
+        mode="overwrite",
     )
     t_write = time.time()
 

@@ -229,3 +229,17 @@ def test_salted_finalize_preserves_dedup_and_counts(multi_file_transcripts):
     a = plain[key].sort_values(key).reset_index(drop=True)
     b = salted[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_flagship_shard_keyed_layout(multi_file_transcripts, tmp_path):
+    """K1 exact keyed layout: out/<sink>/shard_id=<k>/ directories."""
+    out = str(tmp_path / "keyed")
+    flagship_run(
+        multi_file_transcripts, out, num_partitions=1, enrich_concurrency=2,
+        output_partition_cols=["sink", "shard_id"],
+    )
+    shard_dirs = glob.glob(os.path.join(out, "part-00000", "routed", "sink=*", "shard_id=*"))
+    assert shard_dirs
+    shards = {d.split("shard_id=")[1] for d in shard_dirs}
+    assert shards <= {"0", "1", "2", "3", "unknown"}
+    assert "unknown" in shards  # error rows keep their own shard dir

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): the vectorized kernels must agree with their
+scalar definitions on arbitrary inputs, and the expression fast paths must agree
+with the generic interpreter."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sts_opentelemetry_collector_ray.functions.hashing import (
+    fnv1a32,
+    fnv1a32_array,
+    fnv1a64,
+    fnv1a64_array,
+)
+from sts_opentelemetry_collector_ray.rules.expr import compile_expr
+
+# NUL-free text (the byte-matrix kernel uses NUL padding internally)
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_characters="\x00", max_codepoint=0x2FFF),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_fnv_vectorized_equals_scalar(vals):
+    np.testing.assert_array_equal(
+        fnv1a32_array(vals), np.array([fnv1a32(v) for v in vals], dtype=np.uint64)
+    )
+    np.testing.assert_array_equal(
+        fnv1a64_array(vals), np.array([fnv1a64(v) for v in vals], dtype=np.uint64)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_fnv_arrow_equals_scalar(vals):
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.functions.hashing import (
+        fnv1a32_arrow,
+        fnv1a64_arrow,
+    )
+
+    arr = pa.array(vals, pa.string())
+    np.testing.assert_array_equal(
+        fnv1a32_arrow(arr), np.array([fnv1a32(v) for v in vals], dtype=np.uint64)
+    )
+    np.testing.assert_array_equal(
+        fnv1a64_arrow(arr), np.array([fnv1a64(v) for v in vals], dtype=np.uint64)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="abcXYZ 0123", max_size=12)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(min_value=-1000, max_value=10**9), min_size=1, max_size=30),
+)
+def test_concat_fast_path_equals_interpreter(strs, ints):
+    """The Arrow concat plan must yield exactly what the generic (row-fallback)
+    interpreter yields: same values AND same per-row error mask."""
+    n = min(len(strs), len(ints))
+    env = {
+        "s": np.array(strs[:n], dtype=object),
+        "i": np.array(ints[:n], dtype=object),
+    }
+    fast = compile_expr("'p:' + s + '/' + string(i)")
+    assert fast._concat_plan is not None
+    vf, ef, _ = fast.eval_batch(env, n)
+    slow_vals, slow_errs, _ = fast._eval_rows(env, n)
+    np.testing.assert_array_equal(ef, slow_errs)
+    for a, b, err in zip(vf, slow_vals, ef):
+        if not err:
+            assert a == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(st.text(alphabet="abc.", min_size=1, max_size=8),
+                       st.text(max_size=8), max_size=6),
+       st.lists(st.text(alphabet="abc.", min_size=1, max_size=8), max_size=4))
+def test_pick_omit_partition(m, keys):
+    from sts_opentelemetry_collector_ray.functions.maps import omit, pick
+
+    p, o = pick(m, keys), omit(m, keys)
+    assert set(p) | set(o) == set(m)
+    assert not (set(p) & set(o))
+    merged = {**p, **o}
+    assert merged == m
