@@ -131,6 +131,7 @@ def flagship_run(
     parts = _chunk(files, num_partitions or max(1, len(files) // 4))
     result = FlagshipResult(out_dir=out_dir, partitions_total=len(parts))
     os.makedirs(out_dir, exist_ok=True)
+    _emit_ruleset_tombstones(out_dir, rules)
 
     todo = []
     for pid, part_files in enumerate(parts):
@@ -166,6 +167,38 @@ def flagship_run(
     _merge_aggregates(out_dir, len(parts), max_partitions)
     result.wall_sec = time.time() - t0
     return result
+
+
+def _emit_ruleset_tombstones(out_dir: str, rules) -> None:
+    """Settings-snapshot swap path (reference: connector.go:188-217 →
+    snapshot_manager.go:154-213 diff → message_builder.go:85-110 removal fan-out):
+    compare this run's ruleset against the previous run's recorded identifiers;
+    for every removed/changed mapping write Remove tombstone rows (one per shard)
+    under ``_tombstones/`` so downstream sinks can retire the stale data source."""
+    import json as _json
+
+    from ..rules.diff import ruleset_diff, ruleset_identifiers
+
+    reg_path = os.path.join(out_dir, "_ruleset.json")
+    prev: dict[str, str] = {}
+    if os.path.exists(reg_path):
+        try:
+            with open(reg_path) as f:
+                prev = _json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+    if prev:
+        removed, _, tomb = ruleset_diff(prev, rules)
+        if removed:
+            tdir = os.path.join(out_dir, "_tombstones")
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(
+                tomb, os.path.join(tdir, f"tombstones-{int(time.time() * 1000)}.parquet")
+            )
+    tmp = reg_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(ruleset_identifiers(rules), f, indent=1, sort_keys=True)
+    os.replace(tmp, reg_path)
 
 
 def _tally(result: FlagshipResult, manifest: dict) -> None:

@@ -83,6 +83,14 @@ def q_sg_latency_hist(sf_dir: str):
     return latency_histogram(edge_table(_parsed_transcripts(sf_dir)))
 
 
+def q_sg_topology_relations(sf_dir: str):
+    """SURVEY §3.2 end-to-end: traces → service-graph RED metrics → topology
+    relation rows (ststopologyexporter ConsumeMetrics path)."""
+    from ..stages.servicegraph import servicegraph_relations
+
+    return servicegraph_relations(red_metrics(edge_table(_parsed_transcripts(sf_dir))))
+
+
 def q_envelope_pack(sf_dir: str):
     """Byte-capped envelope packing (A5) — greedy, first-seen order; the packing
     decision is not SQL-expressible (running-size recursion), so the driver records
@@ -233,6 +241,14 @@ ORACLES2: dict[str, str] = {
     + """SELECT tool, client_role, COUNT(*) AS n, SUM(failed) AS failed,
        SUM(latency_us) AS latency_us_sum
 FROM edges GROUP BY tool, client_role""",
+    "sg_topology_relations": _EDGES_SQL
+    + """SELECT 'urn:role/' || client_role || '-' || 'urn:tool/' || tool AS external_id,
+       'urn:role/' || client_role AS source_id,
+       'urn:tool/' || tool AS target_id,
+       'calls' AS type_name,
+       COUNT(*) AS n,
+       SUM(failed) AS failed
+FROM edges GROUP BY client_role, tool""",
     "sg_latency_hist": _EDGES_SQL
     + f"""SELECT tool,
        CAST(len(list_filter({_BOUNDS_SQL}, b -> b < latency_us / 1000000.0)) AS INTEGER) AS bucket_idx,
@@ -299,6 +315,7 @@ QUERIES2 = {
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,
     "sg_latency_hist": q_sg_latency_hist,
+    "sg_topology_relations": q_sg_topology_relations,
     "envelope_pack": q_envelope_pack,
     "docs_dedup_exact": q_docs_dedup_exact,
     "docs_token_count": q_docs_token_count,

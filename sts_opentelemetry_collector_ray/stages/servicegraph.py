@@ -130,6 +130,31 @@ def red_metrics(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def servicegraph_relations(red: "ray.data.Dataset") -> "ray.data.Dataset":
+    """RED metrics → topology relation rows — the ststopologyexporter's
+    ConsumeMetrics path (reference: exporter/ststopologyexporter/exporter.go:81-133:
+    picks the service-graph request_total series and emits one relation per
+    client/server pair, keyed by canonical URNs)."""
+    import pyarrow.compute as pc
+
+    def to_relations(t: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise("urn:role/", t["client_role"], "")
+        tgt = pc.binary_join_element_wise("urn:tool/", t["tool"], "")
+        ext = pc.binary_join_element_wise(src, tgt, "-")
+        return pa.table(
+            {
+                "external_id": ext,
+                "source_id": src,
+                "target_id": tgt,
+                "type_name": pa.array(["calls"] * t.num_rows, pa.string()),
+                "n": t["n"],
+                "failed": t["failed"],
+            }
+        )
+
+    return red.map_batches(to_relations, batch_format="pyarrow")
+
+
 def latency_histogram(
     edges: "ray.data.Dataset", bounds: list[float] | None = None
 ) -> "ray.data.Dataset":

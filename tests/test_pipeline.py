@@ -243,3 +243,23 @@ def test_flagship_shard_keyed_layout(multi_file_transcripts, tmp_path):
     shards = {d.split("shard_id=")[1] for d in shard_dirs}
     assert shards <= {"0", "1", "2", "3", "unknown"}
     assert "unknown" in shards  # error rows keep their own shard dir
+
+
+def test_ruleset_change_emits_tombstones(multi_file_transcripts, tmp_path):
+    """Settings-snapshot swap: a removed mapping fans REMOVE tombstones to all
+    shards on the next run (snapshot_manager.go:154-213 / message_builder.go:85-110)."""
+    from sts_opentelemetry_collector_ray.rules.model import default_ruleset
+
+    out = str(tmp_path / "swap")
+    flagship_run(multi_file_transcripts, out, num_partitions=1, enrich_concurrency=2)
+    assert not glob.glob(os.path.join(out, "_tombstones", "*.parquet"))  # first run: none
+    smaller = [r for r in default_ruleset() if r.rule.identifier != "urn:mapping:error-turns"]
+    flagship_run(multi_file_transcripts, out, rules=smaller, num_partitions=1, enrich_concurrency=2)
+    tfiles = glob.glob(os.path.join(out, "_tombstones", "*.parquet"))
+    assert len(tfiles) == 1
+    tomb = pq.read_table(tfiles[0]).to_pandas()
+    assert set(tomb["data_source"]) == {"urn:mapping:error-turns"}
+    assert sorted(tomb["shard_id"]) == ["0", "1", "2", "3"]
+    # identical ruleset on a third run: no new tombstones
+    flagship_run(multi_file_transcripts, out, rules=smaller, num_partitions=1, enrich_concurrency=2)
+    assert len(glob.glob(os.path.join(out, "_tombstones", "*.parquet"))) == 1
