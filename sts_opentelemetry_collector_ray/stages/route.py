@@ -181,6 +181,8 @@ class Router:
         self.shard_count = shard_count
         # Driver-computable ExpressionRef projections, resolved once (ST5/M6).
         self._refs = {r.rule.identifier: sorted(r.referenced_columns) for r in self.rules}
+        # Memoized tag expansion/serialization (ST2 cache analogue), per instance.
+        self._tag_cache: dict = {}
         # All columns a rule's expressions may touch (outputs + vars), for slicing
         # the per-rule sub-environment to just what is needed.
         self._env_cols: dict[str, set] = {}
@@ -345,18 +347,50 @@ class Router:
             return np.full(m, None, dtype=object)
         merged: list[dict] = [dict() for _ in range(m)]
         # Regex tags first, explicit tags overwrite (explicit wins, mapping.go:213-243).
+        # Expansion is MEMOIZED by the source map's items: log attribute maps are
+        # highly repetitive, so the regex walk + template expansion runs once per
+        # distinct map — the engine's analogue of the reference's bounded regex /
+        # template caches (mapping.go:19-31, factory.go:112-121, 2k entries each).
         for rt in rule.regex_tags:
             vals, errs, _ = rt.expr.eval_batch(sub_env, m)
+            cache = self._tag_cache.setdefault(id(rt), {})
             for i in range(m):
                 if errs[i] or not isinstance(vals[i], dict):
                     continue
-                merged[i].update(rt.expand(vals[i]))
+                try:
+                    key = tuple(sorted(vals[i].items()))
+                except TypeError:  # nested/unhashable values: uncached path
+                    merged[i].update(rt.expand(vals[i]))
+                    continue
+                hit = cache.get(key)
+                if hit is None:
+                    if len(cache) > 4096:  # bounded, like the reference's caches
+                        cache.clear()
+                    hit = rt.expand(vals[i])
+                    cache[key] = hit
+                merged[i].update(hit)
         for t in rule.tags:
             vals, errs, _ = t.expr.eval_batch(sub_env, m)
             for i in range(m):
                 if not errs[i] and vals[i] is not None:
                     merged[i][t.target] = str(vals[i])
-        return np.array([canonical_json(d) for d in merged], dtype=object)
+        # canonical JSON memoized the same way (sorted items are a complete key)
+        jcache = self._tag_cache.setdefault("json", {})
+        out = np.empty(m, dtype=object)
+        for i, d in enumerate(merged):
+            try:
+                key = tuple(sorted(d.items()))
+            except TypeError:
+                out[i] = canonical_json(d)
+                continue
+            s = jcache.get(key)
+            if s is None:
+                if len(jcache) > 4096:
+                    jcache.clear()
+                s = canonical_json(d)
+                jcache[key] = s
+            out[i] = s
+        return out
 
 
 def route_stage(
