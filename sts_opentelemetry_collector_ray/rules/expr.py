@@ -63,6 +63,9 @@ _FUNCTIONS = frozenset(
     {
         "matches", "startsWith", "endsWith", "contains", "lower", "upper",
         "string", "int", "float", "size", "coalesce", "pick", "omit", "has",
+        # CEL strings extension surface (expression.go:176 ext.Strings()):
+        "trim", "replace", "split", "substring", "indexOf", "charAt",
+        "lowerAscii", "upperAscii", "join",
     }
 )
 
@@ -321,6 +324,56 @@ class _Interp:
             return _as_series(args[0], self.n).map(
                 lambda d: isinstance(d, dict) and args[1] in d
             ).to_numpy()
+        if fname == "trim":
+            if self.scalar:
+                return args[0].strip()
+            return _str_series(args[0], self.n).str.strip().to_numpy(dtype=object)
+        if fname == "replace":
+            if self.scalar:
+                return args[0].replace(args[1], args[2])
+            return (
+                _str_series(args[0], self.n)
+                .str.replace(args[1], args[2], regex=False)
+                .to_numpy(dtype=object)
+            )
+        if fname == "split":
+            if self.scalar:
+                return args[0].split(args[1])
+            return _str_series(args[0], self.n).str.split(args[1]).to_numpy(dtype=object)
+        if fname == "join":
+            sep = args[1] if len(args) > 1 else ""
+            if self.scalar:
+                return sep.join(args[0])
+            return (
+                _as_series(args[0], self.n)
+                .map(lambda xs: sep.join(xs))
+                .to_numpy(dtype=object)
+            )
+        if fname == "substring":
+            start = args[1]
+            end = args[2] if len(args) > 2 else None
+            if self.scalar:
+                return args[0][start:end]
+            return (
+                _str_series(args[0], self.n).str.slice(start, end).to_numpy(dtype=object)
+            )
+        if fname == "indexOf":
+            if self.scalar:
+                return args[0].find(args[1])
+            return _str_series(args[0], self.n).str.find(args[1]).to_numpy()
+        if fname == "charAt":
+            if self.scalar:
+                return args[0][args[1]] if args[1] < len(args[0]) else ""
+            return (
+                _str_series(args[0], self.n)
+                .str.slice(args[1], args[1] + 1)
+                .to_numpy(dtype=object)
+            )
+        if fname in ("lowerAscii", "upperAscii"):
+            if self.scalar:
+                return args[0].lower() if fname == "lowerAscii" else args[0].upper()
+            s = _str_series(args[0], self.n)
+            return (s.str.lower() if fname == "lowerAscii" else s.str.upper()).to_numpy(dtype=object)
         if fname in ("pick", "omit"):
             fn = pick if fname == "pick" else omit
             if self.scalar:

@@ -103,3 +103,27 @@ def test_vars_namespace():
 def test_refs_collection():
     e = compile_expr("severity == 'ERROR' and startsWith(tool, 'b')")
     assert e.refs == {"severity", "tool"}
+
+
+def test_strings_extension():
+    # CEL strings extension surface (ext.Strings(), expression.go:176)
+    env, n = env_of(text=["  Hello World  ", "a,b,c"])
+    vals, _, _ = compile_expr("trim(text)").eval_batch(env, n)
+    assert vals[0] == "Hello World"
+    vals, _, _ = compile_expr("replace(text, ',', ';')").eval_batch(env, n)
+    assert vals[1] == "a;b;c"
+    vals, _, _ = compile_expr("split(text, ',')").eval_batch(env, n)
+    assert vals[1] == ["a", "b", "c"]
+    vals, _, _ = compile_expr("join(split(text, ','), '-')").eval_batch(env, n)
+    assert vals[1] == "a-b-c"
+    vals, _, _ = compile_expr("substring(text, 2, 7)").eval_batch(env, n)
+    assert vals[0] == "Hello"
+    vals, _, _ = compile_expr("indexOf(text, 'World')").eval_batch(env, n)
+    assert vals[0] == 8 and vals[1] == -1
+    vals, _, _ = compile_expr("charAt(text, 0)").eval_batch(env, n)
+    assert vals[1] == "a"
+    vals, _, _ = compile_expr("lowerAscii(text)").eval_batch(env, n)
+    assert vals[0] == "  hello world  "
+    # usable inside conditions
+    mask = compile_expr("indexOf(text, ',') >= 0", "bool").eval_bool_mask(env, n)
+    assert list(mask) == [False, True]
