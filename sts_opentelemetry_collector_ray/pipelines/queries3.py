@@ -57,6 +57,28 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30-min inactivity gap)."""
+    from ..stages.clusters import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds)
+
+
+def q_neardup_components(sf_dir: str):
+    """Full near-dup resolution: MinHash-LSH candidate pairs → verified Jaccard →
+    connected components (min-label propagation). Rows-only (LSH recall; the
+    union-find oracle lives in tests)."""
+    from ..stages.clusters import connected_components
+    from ..stages.dedup_docs import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    return connected_components(pairs)
+
+
 def _model_case() -> str:
     arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_MODEL.items())
     return f"CASE event_type {arms} ELSE 'gauge' END"
@@ -79,6 +101,22 @@ FROM events""",
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
 FROM documents""",
+    "events_sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+FROM sess GROUP BY user_id, session_idx""",
 }
 
 QUERIES3 = {
@@ -86,4 +124,6 @@ QUERIES3 = {
     "body_normalize": q_body_normalize,
     "docs_token_count_bpe": q_docs_token_count_bpe,
     "media_features": q_media_features,
+    "events_sessionize": q_events_sessionize,
+    "neardup_components": q_neardup_components,
 }

@@ -1,0 +1,176 @@
+"""Near-dup cluster resolution + gap-based sessionization.
+
+`connected_components` closes the near-dup loop (shingle → minhash → band →
+candidate pairs → VERIFY → components): distributed min-label propagation — each
+round a node adopts the smallest id among itself and its neighbors via a
+`groupby(node).min` exchange; converges in O(cluster diameter) rounds. Diameters
+of near-dup clusters are tiny (they are quasi-cliques), so a handful of rounds
+suffices; the pair set is ≪ the corpus, so every round is a small shuffle
+(guide pattern: "iterate a few rounds of min-label propagation with groupby").
+
+`sessionize` is the event-stream windowing operator (gap-based session windows
+per user) — implemented as the usual conv/user-bucket exchange + vectorized
+pandas inside each bucket; the ordering assumption (sortable ts within user) is
+the same per-key contract as the flagship pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Min
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 10,
+) -> pd.DataFrame:
+    """(node, component) for every node in the pair graph; component = min node id
+    reachable. Runs ≤ max_rounds label-propagation shuffles, stopping early when a
+    round changes nothing."""
+    df = pairs.to_pandas()
+    # an empty Dataset loses its schema through to_pandas — treat as no edges
+    if df.empty or a_col not in df.columns:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "component": pd.Series(dtype=np.int64)})
+    edges = df[[a_col, b_col]].astype(np.int64)
+    # Undirected: emit both directions once; labels start as self.
+    both = pd.concat(
+        [
+            edges.rename(columns={a_col: "u", b_col: "v"}),
+            edges.rename(columns={a_col: "v", b_col: "u"})[["u", "v"]],
+        ],
+        ignore_index=True,
+    ).drop_duplicates()
+    nodes = pd.unique(pd.concat([both["u"], both["v"]], ignore_index=True))
+    labels = pd.Series(nodes, index=nodes)  # node -> label
+    for _ in range(max_rounds):
+        # candidate label per node = min(own, neighbors' labels) — one grouped min
+        neigh = pd.DataFrame(
+            {"node": both["u"].to_numpy(), "lab": labels.loc[both["v"]].to_numpy()}
+        )
+        own = pd.DataFrame({"node": nodes, "lab": labels.loc[nodes].to_numpy()})
+        cand = (
+            pd.concat([neigh, own], ignore_index=True)
+            .groupby("node")["lab"]
+            .min()
+        )
+        if (cand.loc[nodes].to_numpy() == labels.loc[nodes].to_numpy()).all():
+            break
+        labels = cand
+    out = labels.rename("component").rename_axis("node").reset_index()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def connected_components_distributed(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 10,
+) -> "ray.data.Dataset":
+    """The same min-label propagation expressed as Ray Data groupby rounds — the
+    scale path when the pair set itself exceeds driver memory. Each round is one
+    `groupby(node).aggregate(Min(label))` shuffle over (edges ∪ self-labels)."""
+    import pyarrow as pa
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t[a_col].combine_chunks().cast(pa.int64()),
+                     t[b_col].combine_chunks().cast(pa.int64())]
+                ),
+                "v": pa.concat_arrays(
+                    [t[b_col].combine_chunks().cast(pa.int64()),
+                     t[a_col].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # reused every round — small (pair set ≪ corpus)
+
+    labels = edges.groupby("u").aggregate(Min("v", alias_name="label"))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.min_element_wise(t["u"], t["label"])
+        return pa.table({"node": t["u"], "label": lab})
+
+    labels = labels.map_batches(relabel, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds - 1):
+        lab_df = labels.to_pandas().set_index("node")["label"]
+
+        def push(t: pa.Table, lab=lab_df) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            # every node appears as `u` (both directions emitted), so after the
+            # first round `lab` covers all of `v`
+            vl = lab.loc[v].to_numpy()
+            return pa.table({"node": pa.array(u), "cand": pa.array(vl.astype(np.int64))})
+
+        cand = edges.map_batches(push, batch_format="pyarrow")
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        merged = cand.union(own).groupby("node").aggregate(Min("cand", alias_name="label"))
+        new_labels = merged.materialize()
+        if new_labels.to_pandas().set_index("node")["label"].equals(
+            labels.to_pandas().set_index("node")["label"]
+        ):
+            break
+        labels = new_labels
+    return labels
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = SESSION_GAP_US,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Gap-based session windows per key: a new session starts when the time since
+    the previous event exceeds ``gap_us``. Output one row per session:
+    (key, session_idx, n_events, start_ts, end_ts)."""
+    import pyarrow as pa
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(
+                pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+            ).astype(np.int32)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, "event_id"] if "event_id" in g else [key_col, ts_col],
+                          kind="mergesort")
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        key = g[key_col].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess = new_key | gap
+        sess_seq = np.cumsum(new_sess)
+        out = pd.DataFrame({key_col: key, "_sess": sess_seq, "_ts": ts})
+        agg = out.groupby([key_col, "_sess"], as_index=False).agg(
+            n_events=("_ts", "size"), start_us=("_ts", "min"), end_us=("_ts", "max")
+        )
+        agg = agg.sort_values([key_col, "start_us"], kind="mergesort")
+        agg["session_idx"] = agg.groupby(key_col).cumcount().astype(np.int64)
+        return agg[[key_col, "session_idx", "n_events", "start_us", "end_us"]]
+
+    b = events.map_batches(bucketize, batch_format="pandas")
+    return b.groupby("_bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )

@@ -1,0 +1,84 @@
+"""Connected-components + sessionization tests (union-find / window oracles)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from sts_opentelemetry_collector_ray.stages.clusters import (
+    connected_components,
+    connected_components_distributed,
+    sessionize,
+)
+
+
+def union_find_oracle(pairs):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+PAIRS = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5), (5, 1)]
+
+
+def test_connected_components_matches_union_find():
+    ds = ray.data.from_pandas(pd.DataFrame(PAIRS, columns=["a", "b"]))
+    got = connected_components(ds).set_index("node")["component"].to_dict()
+    exp = union_find_oracle(PAIRS)
+    assert got == exp
+    assert got[5] == 1 and got[11] == 10 and got[22] == 20
+
+
+def test_connected_components_distributed_matches_driver():
+    ds = ray.data.from_pandas(pd.DataFrame(PAIRS, columns=["a", "b"]))
+    got = (
+        connected_components_distributed(ds)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    exp = union_find_oracle(PAIRS)
+    assert got == exp
+
+
+def test_connected_components_empty():
+    ds = ray.data.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                            "b": pd.Series(dtype="int64")}))
+    out = connected_components(ds)
+    assert len(out) == 0
+
+
+def test_sessionize_gap_semantics():
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: t0 + np.timedelta64(m * 60, "s")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": [mins(0), mins(10), mins(50), mins(55), mins(0), mins(200)],
+            "event_id": range(6),
+        }
+    )
+    out = (
+        sessionize(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    # user 1: events at 0,10 (session 0), then 50,55 (gap 40min -> session 1)
+    u1 = out[out["user_id"] == 1]
+    assert u1["n_events"].tolist() == [2, 2]
+    assert u1["session_idx"].tolist() == [0, 1]
+    # user 2: two sessions of one event each (200min gap)
+    u2 = out[out["user_id"] == 2]
+    assert u2["n_events"].tolist() == [1, 1]
