@@ -179,6 +179,16 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, q, qids, k=10, num_planes=6)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (coarse k-means quantizer + nprobe lists;
+    rows-only — recall vs the exact baseline asserted in tests)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    return ivf_topk(ds, q, qids, k=10, num_centroids=16, nprobe=4)
+
+
 def q_emb_neardup(sf_dir: str):
     """Exact cosine near-dup pairs ≥ 0.45 (float64 both sides)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -327,6 +337,7 @@ QUERIES2 = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
     "usage_bytes": q_usage_bytes,
     "hash_sample": q_hash_sample,

@@ -82,6 +82,108 @@ def brute_force_topk(
     )
 
 
+def _kmeans(data: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic seeded k-means (numpy, Lloyd iterations) — the coarse
+    quantizer for IVF. Run on a driver-side SAMPLE at scale (centroids are tiny)."""
+    rng = np.random.default_rng(seed)
+    centroids = data[rng.choice(len(data), size=min(k, len(data)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((data[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(len(centroids)):
+            sel = assign == ci
+            if sel.any():
+                centroids[ci] = data[sel].mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_sample: int = 4096,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k — the other scale path beside LSH:
+
+    1. train a coarse quantizer (seeded k-means) on a bounded driver-side sample;
+    2. broadcast the centroid matrix; each batch assigns its vectors to their
+       nearest centroid (one matmul) and searches only vectors whose centroid is
+       among each query's ``nprobe`` closest lists;
+    3. merge per-batch partial top-k on the driver (n_queries × k rows).
+
+    Recall < 1 by construction; `brute_force_topk` is the exact oracle."""
+    sample = ds.limit(train_sample).to_pandas()
+    train = _unit(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    )
+    centroids = _unit(_kmeans(train, num_centroids, seed=seed))
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    qc = (qmat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # per-query probe lists
+    wanted: dict[int, list[int]] = {}
+    for qi in range(len(qmat)):
+        for c in qc[qi]:
+            wanted.setdefault(int(c), []).append(qi)
+    ref = ray.put((qmat, np.asarray(query_ids), centroids, wanted))
+
+    def local(t: pa.Table) -> pa.Table:
+        qm, qids, cents, want = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = _unit(
+            np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        )
+        assign = (mat @ cents.T).argmax(axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for c in np.unique(assign):
+            qis = want.get(int(c))
+            if not qis:
+                continue
+            sel = assign == c
+            sub, sub_ids = mat[sel], ids[sel]
+            sims = sub @ qm[qis].T
+            take = min(k + 1, len(sub))
+            for ci, qi in enumerate(qis):
+                col = sims[:, ci]
+                part = (
+                    np.argpartition(-col, take - 1)[:take]
+                    if take < len(col)
+                    else np.arange(len(col))
+                )
+                for p in part:
+                    rows["query_id"].append(int(qids[qi]))
+                    rows["neighbor_id"].append(int(sub_ids[p]))
+                    rows["score"].append(float(col[p]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.drop_duplicates("neighbor_id").sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g[["query_id", "neighbor_id", "rank"]])
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    )
+
+
 def lsh_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

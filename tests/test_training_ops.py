@@ -181,3 +181,30 @@ def test_multimodal_plumbing(docs):
     out = decode_stage(ds, concurrency=2).to_pandas()
     assert len(out) == len(docs)
     assert "payload" not in out.columns  # heavy bytes dropped post-decode
+
+
+def test_ivf_topk_recall():
+    from sts_opentelemetry_collector_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16))
+    clustered = np.vstack(
+        [centers[i % 4] + 0.05 * rng.standard_normal(16) for i in range(80)]
+    )
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": [v.tolist() for v in clustered],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    qids = np.array([0, 1])
+    exact = brute_force_topk(ds, clustered[qids], qids, k=5)
+    ivf = ivf_topk(ds, clustered[qids], qids, k=5, num_centroids=4, nprobe=2)
+    inter = set(map(tuple, ivf[["query_id", "neighbor_id"]].to_numpy())) & set(
+        map(tuple, exact[["query_id", "neighbor_id"]].to_numpy())
+    )
+    assert len(inter) >= 8  # high recall on clustered data (10 exact rows total)
+    # deterministic across runs (seeded k-means)
+    ivf2 = ivf_topk(ds, clustered[qids], qids, k=5, num_centroids=4, nprobe=2)
+    pd.testing.assert_frame_equal(ivf.reset_index(drop=True), ivf2.reset_index(drop=True))
