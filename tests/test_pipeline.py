@@ -263,3 +263,16 @@ def test_ruleset_change_emits_tombstones(multi_file_transcripts, tmp_path):
     # identical ruleset on a third run: no new tombstones
     flagship_run(multi_file_transcripts, out, rules=smaller, num_partitions=1, enrich_concurrency=2)
     assert len(glob.glob(os.path.join(out, "_tombstones", "*.parquet"))) == 1
+
+
+def test_run_twice_byte_identical_routed_sets(multi_file_transcripts, tmp_path):
+    """Determinism (SURVEY §5): two independent runs produce identical routed
+    content — every column, both runs, full-frame equality under canonical sort."""
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (a_dir, b_dir):
+        flagship_run(multi_file_transcripts, d, num_partitions=2, enrich_concurrency=2)
+    key = ["sink", "data_source", "conv_id", "turn_idx", "action"]
+    a = read_routed(a_dir).sort_values(key).reset_index(drop=True)
+    b = read_routed(b_dir).sort_values(key).reset_index(drop=True)
+    a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b)
