@@ -1,7 +1,7 @@
 from .parse import PROCESSING_TS, parse_batch, parse_stage
 from .enrich import EnrichActor, ROLE_CLASS, TOOL_INFO, enrich_stage
 from .route import ROUTED_SCHEMA, Router, route_stage
-from .dedup import dedup_first_wins, finalize_routed
+from .dedup import finalize_routed
 from .aggregate import sink_counts
 from .pack import pack_envelopes
 from .servicegraph import (
@@ -34,7 +34,7 @@ __all__ = [
     "PROCESSING_TS", "parse_batch", "parse_stage",
     "EnrichActor", "ROLE_CLASS", "TOOL_INFO", "enrich_stage",
     "ROUTED_SCHEMA", "Router", "route_stage",
-    "dedup_first_wins", "finalize_routed",
+    "finalize_routed",
     "sink_counts",
     "pack_envelopes",
     "DEFAULT_LATENCY_BOUNDS", "edge_table", "latency_histogram", "red_metrics",
