@@ -41,13 +41,29 @@ def _pack_group(max_bytes: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         sizes = _row_sizes(g)
+        # Only CREATE payloads coalesce; DELETE/Remove rows pass through as
+        # single-element envelopes (grouping invariant, message_builder.go:85-110 /
+        # grouping_test.go: removes are never merged).
+        solo = (
+            (g["action"] != "CREATE").to_numpy()
+            if "action" in g.columns
+            else np.zeros(len(g), dtype=bool)
+        )
         env_idx = np.zeros(len(g), dtype=np.int64)
-        cur = 0
+        cur = -1
         acc = 0
+        open_env = False
         for i, s in enumerate(sizes):  # greedy split (tiny: runs per group)
-            if acc + s > max_bytes and acc > 0:
+            if solo[i]:
+                cur += 1
+                env_idx[i] = cur
+                open_env = False
+                acc = 0
+                continue
+            if not open_env or (acc + s > max_bytes and acc > 0):
                 cur += 1
                 acc = 0
+                open_env = True
             env_idx[i] = cur
             acc += s
         g = g.assign(_env=env_idx, _size=sizes)

@@ -39,6 +39,7 @@ def routed_frame():
             "tags": [None] * 6,
             "text": ["hello world"] * 6,
             "error": [None] * 6,
+            "action": ["CREATE"] * 6,
         }
     )
 
@@ -131,3 +132,18 @@ def test_ruleset_diff_tombstones():
     # identity diff is empty
     r3, a3, t3 = ruleset_diff(old, old)
     assert r3 == [] and a3 == [] and t3.num_rows == 0
+
+
+def test_pack_removes_pass_through_uncoalesced():
+    # DELETE rows are never merged into envelopes (grouping_test.go invariant)
+    g = routed_frame()
+    g = g[g["data_source"] == "m1"].copy()
+    g["shard_id"] = "0"
+    g.loc[g.index[1], "action"] = "DELETE"
+    g["action"] = g.get("action", "CREATE")
+    g["action"] = g["action"].fillna("CREATE")
+    out = _pack_group(10**6)(g)
+    # one big CREATE envelope cannot contain the DELETE: at least 2 envelopes,
+    # one of which is a single-row envelope
+    assert (out["n_rows"] == 1).any()
+    assert out["n_rows"].sum() == len(g)
