@@ -75,7 +75,9 @@ def run_bench() -> dict:
     res = flagship_run(
         corpus,
         out_dir,
-        num_partitions=2,
+        # partitions scale with corpus so one partition's materialized routed
+        # output (~2× input bytes) stays well inside the object store
+        num_partitions=max(2, n_turns // 6_000_000),
         partition_parallelism=2,  # overlap partition sub-pipelines: one partition's
         # shuffle barrier is filled by the next partition's read/route stages
         enrich_concurrency=pool,
@@ -120,7 +122,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_TURNS_MULT=os.environ.get("GRAFT_TURNS_MULT", "120"),
+            GRAFT_TURNS_MULT=os.environ.get("GRAFT_TURNS_MULT", "240"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
