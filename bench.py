@@ -8,8 +8,10 @@ driver queries, and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N, "turns": T, "turns_per_sec": ...}
 
 `bench.py --scaling` runs the headline pipeline twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs plus
-scaling efficiency (the sandbox stand-in for the N vs 4N node cluster criterion).
+num_cpus=4 and num_cpus=16 by default (GRAFT_SCALE_LO/HI override) on the same
+input and reports both throughputs plus scaling efficiency — the sandbox
+stand-in for the N vs 4N node cluster criterion; see run_scaling's docstring
+and BASELINE.md for why 4/16 rather than 8/32 on one box.
 """
 
 from __future__ import annotations
@@ -26,10 +28,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def corpus_turns_for(sf_dir: str) -> int:
-    """Deterministic corpus size ∝ scale factor (default 30× the events row count;
-    the --scaling path doubles it via GRAFT_TURNS_MULT so per-stage compute
-    dominates fixed scheduling overhead and the measurement reflects the
-    pipeline, not Ray session setup)."""
+    """Deterministic corpus size ∝ scale factor (default 30× the events row
+    count; the --scaling path raises GRAFT_TURNS_MULT to 240 — a 24M-turn corpus
+    at sf0.1 — so per-stage compute dominates fixed scheduling overhead and the
+    measurement reflects the pipeline, not Ray session setup)."""
     import pyarrow.parquet as pq
 
     mult = int(os.environ.get("GRAFT_TURNS_MULT", "30"))
@@ -75,9 +77,9 @@ def run_bench() -> dict:
     res = flagship_run(
         corpus,
         out_dir,
-        # partitions scale with corpus so one partition's materialized routed
-        # output (~2× input bytes) stays well inside the object store
-        num_partitions=max(2, n_turns // 6_000_000),
+        # partitions scale with corpus (ceil) so one partition's materialized
+        # routed output (~2× input bytes) never exceeds the ~6M-turn budget
+        num_partitions=max(2, -(-n_turns // 6_000_000)),
         partition_parallelism=2,  # overlap partition sub-pipelines: one partition's
         # shuffle barrier is filled by the next partition's read/route stages
         enrich_concurrency=pool,
