@@ -35,14 +35,18 @@ DEFAULT_LATENCY_BOUNDS = [
 
 def _extract_halves(t: pa.Table) -> pa.Table:
     """Keep only potential edge halves (caller: has tool_sig; callee: tool turn) —
-    prunes the join input before the shuffle."""
+    prunes the join input before the shuffle. Latency uses the COALESCED
+    timestamp (`ts_eff`, M15: collection ts with processing-time fallback,
+    signal_traverser.go:111-131) so null input timestamps never poison edges."""
     import pyarrow.compute as pc
 
     caller = pc.is_valid(t["tool_sig"])
     callee = pc.equal(t["role"], "tool")
     keep = pc.or_(caller, callee)
-    cols = ["conv_id", "turn_idx", "role", "tool", "severity", "tool_name", "ts"]
-    return t.filter(keep).select(cols)
+    kept = t.filter(keep)
+    ts = kept["ts_eff"] if "ts_eff" in kept.column_names else kept["ts"]
+    out = kept.select(["conv_id", "turn_idx", "role", "tool", "severity", "tool_name"])
+    return out.append_column("ts", ts)
 
 
 def _pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -128,6 +132,74 @@ def red_metrics(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         Sum("failed", alias_name="failed"),
         Sum("latency_us_sum", alias_name="latency_us_sum"),
     )
+
+
+def edge_table_native_join(
+    parsed: "ray.data.Dataset", num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """The same span-pair join expressed with Ray's built-in hash-partitioned
+    ``Dataset.join`` (available since 2.46) instead of the explicit bucket
+    exchange — the "both sides large" pattern when the engine primitive fits.
+    `edge_table` remains the portable/default implementation (works on any Ray
+    with groupby, lets the pair logic live next to the bucket salting); this
+    variant documents and exercises the native path. Output schema identical."""
+    import pyarrow.compute as pc
+
+    halves = parsed.map_batches(_extract_halves, batch_format="pyarrow")
+
+    def callers_of(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t["tool_name"])
+        c = t.filter(m)
+        return pa.table(
+            {
+                "conv_id": c["conv_id"],
+                "caller_turn": c["turn_idx"],
+                "client_role": c["role"],
+                "tool_name": c["tool_name"],
+                "client_ts": c["ts"],
+            }
+        )
+
+    def callees_of(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["role"], "tool")
+        s = t.filter(m)
+        return pa.table(
+            {
+                "conv_id": s["conv_id"],
+                "caller_turn": pc.subtract(s["turn_idx"], pa.scalar(1, pa.int32())),
+                "server_turn": s["turn_idx"],
+                "tool_name": s["tool"],
+                "severity": s["severity"],
+                "server_ts": s["ts"],
+            }
+        )
+
+    callers = halves.map_batches(callers_of, batch_format="pyarrow")
+    callees = halves.map_batches(callees_of, batch_format="pyarrow")
+    joined = callers.join(
+        callees,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("conv_id", "caller_turn", "tool_name"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lat = pc.subtract(
+            t["server_ts"].cast(pa.int64()), t["client_ts"].cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "client_turn": t["caller_turn"],
+                "server_turn": t["server_turn"],
+                "client_role": t["client_role"],
+                "tool": t["tool_name"],
+                "failed": pc.cast(pc.equal(t["severity"], "ERROR"), pa.int64()),
+                "latency_us": lat,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def servicegraph_relations(red: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -71,3 +71,29 @@ def test_latency_bucket_semantics():
     )
     hist = latency_histogram(edge_table(ds)).to_pandas()
     assert hist.iloc[0]["bucket_idx"] == 9 and hist.iloc[0]["n"] == 1
+
+
+def test_native_join_variant_matches_bucket_join(ray_session):
+    """edge_table (explicit bucket exchange) and edge_table_native_join (Ray's
+    built-in hash join) must produce identical edge sets."""
+    from sts_opentelemetry_collector_ray.sources import generate_transcripts
+    from sts_opentelemetry_collector_ray.stages.parse import parse_stage
+    from sts_opentelemetry_collector_ray.stages.servicegraph import (
+        edge_table_native_join,
+    )
+    import ray.data
+
+    out = "/tmp/sg_native_join_corpus"
+    generate_transcripts(out, n_turns=3000, seed=42)
+    parsed = parse_stage(ray.data.read_parquet(out))
+    a = edge_table(parsed).to_pandas()
+    parsed2 = parse_stage(ray.data.read_parquet(out))
+    b = edge_table_native_join(parsed2, num_partitions=4).to_pandas()
+    key = ["conv_id", "client_turn"]
+    cols = ["conv_id", "client_turn", "server_turn", "client_role", "tool", "failed", "latency_us"]
+    aa = a[cols].sort_values(key).reset_index(drop=True)
+    bb = b[cols].sort_values(key).reset_index(drop=True)
+    for c in cols:
+        aa[c] = aa[c].astype(bb[c].dtype) if aa[c].dtype != bb[c].dtype else aa[c]
+    pd.testing.assert_frame_equal(aa, bb)
+    assert len(aa) > 0
