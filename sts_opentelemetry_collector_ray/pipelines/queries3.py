@@ -79,6 +79,19 @@ def q_neardup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_sg_latency_quantiles(sf_dir: str):
+    """Approximate latency percentiles per tool from a mergeable log-bin sketch
+    (rows-only: the estimate is approximate by design; accuracy bounds are
+    asserted vs numpy quantiles in tests)."""
+    from ..stages.quantiles import quantile_sketch
+    from ..stages.servicegraph import edge_table
+    from ..stages.parse import parse_stage
+    from ..sources.transcripts import derive_transcripts_from_events
+
+    edges = edge_table(parse_stage(derive_transcripts_from_events(sf_dir)))
+    return quantile_sketch(edges, "latency_us", key_cols=["tool"], qs=[0.5, 0.9, 0.99])
+
+
 def _model_case() -> str:
     arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_MODEL.items())
     return f"CASE event_type {arms} ELSE 'gauge' END"
@@ -126,4 +139,5 @@ QUERIES3 = {
     "media_features": q_media_features,
     "events_sessionize": q_events_sessionize,
     "neardup_components": q_neardup_components,
+    "sg_latency_quantiles": q_sg_latency_quantiles,
 }

@@ -82,3 +82,23 @@ def test_sessionize_gap_semantics():
     # user 2: two sessions of one event each (200min gap)
     u2 = out[out["user_id"] == 2]
     assert u2["n_events"].tolist() == [1, 1]
+
+
+def test_quantile_sketch_accuracy():
+    from sts_opentelemetry_collector_ray.stages.quantiles import quantile_sketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(mean=10, sigma=2, size=50_000)  # latency-like, heavy tail
+    df = pd.DataFrame({"v": vals, "grp": (np.arange(len(vals)) % 2).astype(np.int64)})
+    ds = ray.data.from_pandas(df)
+    out = quantile_sketch(ds, "v", key_cols=["grp"], qs=[0.5, 0.9, 0.99])
+    assert len(out) == 6
+    for grp in (0, 1):
+        sub = df[df["grp"] == grp]["v"]
+        for q in (0.5, 0.9, 0.99):
+            est = out[(out["grp"] == grp) & (out["q"] == q)]["estimate"].iloc[0]
+            true = np.quantile(sub, q)
+            assert abs(np.log(est) - np.log(true)) < 0.12, (grp, q, est, true)
+    # global (no key) variant
+    g = quantile_sketch(ds, "v", qs=[0.5])
+    assert len(g) == 1 and g["estimate"].iloc[0] > 0
