@@ -234,3 +234,26 @@ def test_load_ruleset_from_json_file(tmp_path):
     assert len(rules) == 2 and rules[1].is_relation
     out = _routed([{"text": "[ERROR] x", "tool": "bash"}], rules).to_pylist()
     assert {r["data_source"] for r in out} == {"urn:mapping:file-rule", "urn:mapping:file-rel"}
+
+
+def test_unicode_text_through_routing():
+    # multibyte text must survive parse → route → shard/dedup hashing unharmed
+    rows = [
+        {"text": "[ERROR] ошибка 🚨 call:bash(q1) attr.env=продакшн", "tool": "bash", "role": "tool"},
+        {"text": "[INFO] 日本語のログ k=42", "role": "user"},
+        {"text": "héllo wörld — no tokens"},
+    ]
+    out = _routed(rows, default_ruleset())
+    assert out.num_rows > 0
+    sevs = {r["severity"] for r in out.to_pylist()}
+    assert {"ERROR", "INFO", "UNKNOWN"} <= sevs
+    # texts round-trip byte-identically on the carrying sink
+    all_turns = [r for r in out.to_pylist() if r["data_source"] == "urn:mapping:all-turns"]
+    assert sorted(r["text"] for r in all_turns) == sorted(r["text"] for r in rows)
+    # shard ids stay in range; dedup keys present for CREATE rows
+    assert all(r["shard_id"] in {"0", "1", "2", "3", "unknown"} for r in out.to_pylist())
+    # regex tags with non-ASCII values serialize to valid JSON
+    diag = [r for r in out.to_pylist() if r["data_source"] == "urn:mapping:diag-turns"]
+    for r in diag:
+        if r["tags"]:
+            json.loads(r["tags"])
