@@ -257,3 +257,32 @@ def test_unicode_text_through_routing():
     for r in diag:
         if r["tags"]:
             json.loads(r["tags"])
+
+
+def test_canonical_projection_semantics():
+    """deduplicator_test.go:17-245 analogue: attr-map KEY order must not change the
+    dedup key; list VALUE order must; equal values of different types must."""
+    import numpy as np
+
+    from sts_opentelemetry_collector_ray.stages.route import _canonical_projection
+
+    def canon(env):
+        return _canonical_projection(
+            {k: np.array(v, dtype=object) for k, v in env.items()},
+            sorted(env.keys()),
+            1,
+        ).to_pylist()[0]
+
+    # map key order insensitive (canonical JSON sorts keys)
+    a = canon({"attrs": [{"x": "1", "y": "2"}]})
+    b = canon({"attrs": [{"y": "2", "x": "1"}]})
+    assert a == b
+    # list order sensitive
+    assert canon({"v": [["a", "b"]]}) != canon({"v": [["b", "a"]]})
+    # type tags distinguish equal-looking values
+    assert canon({"v": [1]}) != canon({"v": ["1"]})
+    assert canon({"v": [True]}) != canon({"v": [1]})
+    # float encoding via IEEE bits: 1.0 (float) != 1 (int)
+    assert canon({"v": [1.0]}) != canon({"v": [1]})
+    # None distinct from empty string
+    assert canon({"v": [None]}) != canon({"v": [""]})
