@@ -278,12 +278,18 @@ def _run_partition(
     for row in agg_tbl.to_pylist():
         sink_rows[row["sink"]] = sink_rows.get(row["sink"], 0) + row["n"]
         err_rows += row["err"]
+    # Lineage key range (SURVEY §4 manifest contract): min/max conv over the
+    # partition — two tiny aggregates on the already-materialized blocks.
+    first_key = routed.min("conv_id")
+    last_key = routed.max("conv_id")
     t_agg = time.time()
     return {
         "pid": pid,
         "routed_rows": int(sum(sink_rows.values())),
         "error_rows": err_rows,
         "sink_rows": sink_rows,
+        "first_conv_id": first_key,
+        "last_conv_id": last_key,
         "stage_wall_sec": {
             "route_sort_write": round(t_write - t0, 3),
             "plan": round(t_route - t0, 3),
