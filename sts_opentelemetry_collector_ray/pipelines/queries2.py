@@ -248,8 +248,8 @@ ORACLES2: dict[str, str] = {
     "sg_edges": _EDGES_SQL
     + "SELECT conv_id, client_turn, server_turn, client_role, tool, failed, latency_us FROM edges",
     "sg_red": _EDGES_SQL
-    + """SELECT tool, client_role, COUNT(*) AS n, SUM(failed) AS failed,
-       SUM(latency_us) AS latency_us_sum
+    + """SELECT tool, client_role, COUNT(*) AS n, CAST(SUM(failed) AS BIGINT) AS failed,
+       CAST(SUM(latency_us) AS BIGINT) AS latency_us_sum
 FROM edges GROUP BY tool, client_role""",
     "sg_topology_relations": _EDGES_SQL
     + """SELECT 'urn:role/' || client_role || '-' || 'urn:tool/' || tool AS external_id,
@@ -257,7 +257,7 @@ FROM edges GROUP BY tool, client_role""",
        'urn:tool/' || tool AS target_id,
        'calls' AS type_name,
        COUNT(*) AS n,
-       SUM(failed) AS failed
+       CAST(SUM(failed) AS BIGINT) AS failed
 FROM edges GROUP BY client_role, tool""",
     "sg_latency_hist": _EDGES_SQL
     + f"""SELECT tool,
@@ -308,7 +308,7 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
     "usage_bytes": _ROUTES_SQL
-    + "SELECT sink, SUM(COALESCE(length(text), 0)) AS total_bytes FROM routes GROUP BY sink",
+    + "SELECT sink, CAST(SUM(COALESCE(octet_length(encode(text)), 0)) AS BIGINT) AS total_bytes FROM routes GROUP BY sink",
     "hash_sample": _PARSED_SQL
     + f"SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts WHERE {_FNV_PCT} < 10",
     "topology_collections": _ROUTES_SQL

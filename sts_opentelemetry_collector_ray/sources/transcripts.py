@@ -11,9 +11,9 @@ Two deterministic sources:
 1. `derive_transcripts_from_events(sf_dir)` — maps the driver testdata ``events`` table
    to the transcript shape, with a byte-identical DuckDB CTE
    (`TRANSCRIPTS_FROM_EVENTS_SQL`) so every downstream operator gets a value-hash
-   oracle. ``turn_idx`` is a per-conversation row number — computed with a
-   hash-partitioned `groupby(conv_id).map_groups` (the windowing operator; the shuffle
-   is keyed on the same ``conv_id`` partitioning the whole flagship pipeline reuses).
+   oracle. ``turn_idx`` is a per-conversation row number — computed with a bounded
+   hash-BUCKET exchange (``hash(conv_id) % B``) and one vectorized sort+cumcount per
+   bucket, never one Python group per conversation (CLAUDE.md groupby rule).
 
 2. `generate_transcripts(...)` — the seed-42 synthetic corpus of FIXTURES.md F1
    (Zipf-ish conversation lengths for skew, shuffled row order so the pipeline must
@@ -68,7 +68,7 @@ WITH ev AS (
   FROM events
 ),
 transcripts AS (
-  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+  SELECT 'conv-' || printf('%08d', CAST(user_id AS BIGINT)) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
          role,
          CASE WHEN event_type = 'signup' THEN 'session start k=' || k
@@ -109,27 +109,49 @@ def _events_to_turns(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _number_turns(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation window: row_number ordered by (ts, event_id) → turn_idx."""
-    group = group.sort_values(["ts", "event_id"], kind="mergesort")
-    group = group.assign(turn_idx=np.arange(len(group), dtype=np.int32))
+def _number_turns_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of conversations: vectorized row_number over (ts, event_id)
+    within conv_id — a single mergesort + boundary-scan cumcount, no per-conv calls."""
+    group = group.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    conv = group["conv_id"].to_numpy()
+    n = len(group)
+    idx = np.arange(n, dtype=np.int64)
+    new_conv = np.empty(n, dtype=bool)
+    new_conv[0] = True
+    new_conv[1:] = conv[1:] != conv[:-1]
+    starts = np.maximum.accumulate(np.where(new_conv, idx, 0))
+    group = group.assign(turn_idx=(idx - starts).astype(np.int32))
     return group[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
+TURN_NUMBER_BUCKETS = 64  # bounded exchange key — scale-independent cardinality
 
 
 def derive_transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
     """events.parquet → transcript-shaped Dataset (matches TRANSCRIPTS_FROM_EVENTS_SQL).
 
-    Scale note: the per-conversation row-number is the only shuffle; it hash-partitions
-    by ``conv_id`` which is the partitioning key the whole flagship pipeline reuses.
-    Real transcript corpora arrive with ``turn_idx`` materialized, so this stage exists
-    only to manufacture the input shape from driver testdata.
+    Scale note: the per-conversation row-number is the only shuffle; it exchanges on
+    ``hash(conv_id) % 64`` (bounded cardinality), then numbers every conversation in a
+    bucket with ONE vectorized sort + boundary-scan — the sessionize pattern from
+    ``stages/clusters.py``. Real transcript corpora arrive with ``turn_idx``
+    materialized, so this stage exists only to manufacture the shape from testdata.
     """
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
     ds = ds.map_batches(_events_to_turns, batch_format="pyarrow")
-    return ds.groupby("conv_id").map_groups(_number_turns, batch_format="pandas")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["conv_id"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(ids) % TURN_NUMBER_BUCKETS).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("_bucket").map_groups(
+        lambda g: _number_turns_bucket(g.drop(columns=["_bucket"])),
+        batch_format="pandas",
+    )
 
 
 # ---------------------------------------------------------------------------
