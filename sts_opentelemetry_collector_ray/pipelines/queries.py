@@ -175,6 +175,49 @@ def q_dedup_relations(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_route_computed_action(sf_dir: str):
+    """Computed action expressions (M3 full parity): ``action`` is a CEL-lite
+    *string expression* evaluated per element. Eval error or a value outside
+    {CREATE, DELETE, CONTINUE} ⇒ the element is silently skipped; DELETE is
+    terminal-valid only for the LOGS signal (mapping_handler.go:72-121 — the k8s
+    watch-event pattern of test/e2e/logtopology_test.go:414-552)."""
+    from ..rules.model import ComponentRule
+
+    rules = [
+        # LOGS: UNKNOWN severity ⇒ DELETE (tombstone), DEBUG ⇒ unknown action value
+        # 'IGNORE' ⇒ silent skip, everything else ⇒ CREATE.
+        ComponentRule(
+            identifier="urn:mapping:watch-events",
+            sink="logs_all",
+            action="'DELETE' if severity == 'UNKNOWN' else "
+            "('IGNORE' if severity == 'DEBUG' else 'CREATE')",
+            identifier_expr="'urn:turn/' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'turn'",
+        ).compile(),
+        # METRICS: computed DELETE is silently ignored (non-LOGS signal).
+        ComponentRule(
+            identifier="urn:mapping:metrics-watch",
+            signal="METRICS",
+            sink="metrics_tools",
+            condition="tool != ''",
+            action="'DELETE' if severity == 'ERROR' else 'CREATE'",
+            identifier_expr="'urn:tool/' + tool",
+            type_name_expr="'tool'",
+            carry_text=False,
+        ).compile(),
+    ]
+    ds = routed_dataset(
+        derive_transcripts_from_events(sf_dir),
+        rules=rules,
+        dedup=False,
+        enrich_concurrency=2,
+        route_concurrency=None,
+    )
+    return ds.select_columns(
+        ["sink", "data_source", "action", "external_id", "conv_id", "turn_idx", "severity"]
+    )
+
+
 # -- TPC-H-ish operator demos ----------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -313,6 +356,16 @@ FROM parsed""",
 FROM routes""",
     "agg_counts": _ROUTES_SQL
     + "SELECT sink, role, tool, count(*) AS n FROM routes GROUP BY sink, role, tool",
+    "route_computed_action": _PARSED_SQL
+    + """SELECT 'logs_all' AS sink, 'urn:mapping:watch-events' AS data_source,
+       CASE WHEN severity = 'UNKNOWN' THEN 'DELETE' ELSE 'CREATE' END AS action,
+       'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS external_id,
+       conv_id, turn_idx, severity
+FROM parsed WHERE severity <> 'DEBUG'
+UNION ALL
+SELECT 'metrics_tools', 'urn:mapping:metrics-watch', 'CREATE',
+       'urn:tool/' || tool, conv_id, turn_idx, severity
+FROM parsed WHERE tool <> '' AND severity <> 'ERROR'""",
     "dedup_relations": _PARSED_SQL
     + """SELECT conv_id, min(turn_idx) AS turn_idx, tool,
        'urn:conv/' || conv_id || '-urn:tool/' || tool AS external_id
@@ -341,6 +394,7 @@ QUERIES = {
     "parse_extract": q_parse_extract,
     "enrich_lookup": q_enrich_lookup,
     "route_fanout": q_route_fanout,
+    "route_computed_action": q_route_computed_action,
     "agg_counts": q_agg_counts,
     "dedup_relations": q_dedup_relations,
     "q1_pricing": q_q1_pricing,

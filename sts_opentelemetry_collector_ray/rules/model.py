@@ -105,7 +105,9 @@ class Rule:
     identifier: str  # the mapping's own id == output data_source
     signal: str = "LOGS"
     condition: Optional[str] = None  # nil ⇒ true (mapping_handler.go:128-131)
-    action: Optional[str] = None  # nil ⇒ CREATE at terminal level
+    # nil ⇒ CREATE at terminal level; a constant in ACTIONS, or any other string is
+    # compiled as a per-element CEL-lite expression (mapping_handler.go:103-121)
+    action: Optional[str] = None
     vars: dict[str, str] = field(default_factory=dict)
     sink: str = "default"
     expire_after_ms: int = 900_000
@@ -160,9 +162,15 @@ class CompiledRule:
         self.condition = (
             compile_expr(rule.condition, "bool") if rule.condition else None
         )
-        self.action = rule.action or "CREATE"
-        if self.action not in ACTIONS:
-            raise ValueError(f"unknown action {self.action!r} in rule {rule.identifier}")
+        # Action is either a constant (fast path) or a CEL-lite *string expression*
+        # evaluated per element (mapping_handler.go:103-121): eval error or a value
+        # outside {CREATE, DELETE, CONTINUE} ⇒ the element is silently skipped.
+        if rule.action is None or rule.action in ACTIONS:
+            self.action: Optional[str] = rule.action or "CREATE"
+            self.action_expr: Optional[CompiledExpr] = None
+        else:
+            self.action = None
+            self.action_expr = compile_expr(rule.action, "string")
         self.vars = {k: compile_expr(v, "any") for k, v in rule.vars.items()}
         if self.is_relation:
             self.source_id = compile_expr(rule.source_id_expr, "string")
@@ -185,6 +193,8 @@ class CompiledRule:
         Var-indirection is resolved: referencing ``vars.x`` pulls in var x's refs."""
         refs: set[str] = set()
         exprs = [self.condition] if self.condition else []
+        if self.action_expr is not None:
+            exprs.append(self.action_expr)
         if self.is_relation:
             exprs += [self.source_id, self.target_id, self.type_name, self.dependency_type]
         else:

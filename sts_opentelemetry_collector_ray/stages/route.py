@@ -211,6 +211,8 @@ class Router:
             mask = np.ones(n, dtype=bool)
         if rule.action == "CONTINUE":
             return None  # no terminal output at this level (mapping_handler.go:52-58)
+        if rule.action == "DELETE" and rule.rule.signal != "LOGS":
+            return None  # DELETE terminal-valid only for LOGS (mapping_handler.go:72-99)
         idx = np.nonzero(mask)[0]
         if idx.size == 0:
             return None
@@ -225,22 +227,42 @@ class Router:
                 sub_env[k] = v[idx]
         m = idx.size
 
+        # Computed action: evaluate the string expression per element; eval error,
+        # CONTINUE, an unknown value, or DELETE on a non-LOGS signal all silently
+        # skip the element (mapping_handler.go:72-121 — no error row).
+        if rule.action_expr is not None:
+            act_vals, act_errs, _ = rule.action_expr.eval_batch(sub_env, m)
+            valid = act_vals == "CREATE"
+            if rule.rule.signal == "LOGS":
+                valid |= act_vals == "DELETE"
+            keep = ~act_errs & valid
+            if not keep.any():
+                return None
+            action_arr = act_vals.astype(object)
+            if not keep.all():
+                idx = idx[keep]
+                sub_env = {k: v[keep] for k, v in sub_env.items()}
+                action_arr = action_arr[keep]
+                m = idx.size
+        else:
+            action_arr = np.full(m, rule.action, dtype=object)
+
         err_mask = np.zeros(m, dtype=bool)
         err_msg = np.full(m, None, dtype=object)
 
         # vars: any failure fails the whole mapping for that element (eval.go:60-88).
         # DELETE evaluates only vars referenced by the id expressions (eval.go:15-54) —
         # approximated here by skipping vars entirely unless an id expr uses them.
-        need_vars = rule.vars and (
-            rule.action != "DELETE"
-            or any(
-                "vars" in e.refs
-                for e in (
-                    [rule.source_id, rule.target_id]
-                    if rule.is_relation
-                    else [rule.identifier]
-                )
+        id_uses_vars = any(
+            "vars" in e.refs
+            for e in (
+                [rule.source_id, rule.target_id]
+                if rule.is_relation
+                else [rule.identifier]
             )
+        )
+        need_vars = rule.vars and (
+            id_uses_vars or bool((action_arr != "DELETE").any())
         )
         if need_vars:
             var_vals: dict[str, np.ndarray] = {}
@@ -300,20 +322,21 @@ class Router:
             shard[ok] = shards.astype(np.int32).astype(str)
 
         dedup = np.full(m, None, dtype=object)
-        if rule.action == "CREATE" and ok.any():
+        create_ok = ok & (action_arr == "CREATE")
+        if create_ok.any():
             refs = self._refs[rule.rule.identifier]
             canon = _canonical_projection(sub_env, refs, m)
             prefix = f"{rule.rule.identifier}|{rule.rule.signal}|"
             keys = pc.binary_join_element_wise(prefix, canon, "")
             hashes = fnv1a64_arrow(keys)
-            dedup[ok] = list(hashes[ok])
+            dedup[create_ok] = list(hashes[create_ok])
 
         cols: dict[str, pa.Array] = {
             "sink": pa.array(np.full(m, rule.rule.sink, dtype=object), pa.string()),
             "data_source": pa.array(
                 np.full(m, rule.rule.identifier, dtype=object), pa.string()
             ),
-            "action": pa.array(np.full(m, rule.action, dtype=object), pa.string()),
+            "action": pa.array(action_arr, pa.string()),
             "external_id": pa.array(ext, pa.string()),
             "shard_id": pa.array(shard, pa.string()),
             "name": pa.array(name_vals, pa.string()),

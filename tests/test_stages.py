@@ -134,6 +134,70 @@ def test_route_delete_action():
     assert out[0]["dedup_key"] is None  # DELETE is not dedup-gated
 
 
+def test_route_computed_action_expression():
+    """action as a CEL-lite string expression (mapping_handler.go:103-121):
+    per-element CREATE/DELETE branch, unknown value ⇒ silent skip."""
+    rules = [
+        ComponentRule(
+            identifier="m-watch",
+            sink="s",
+            action="'DELETE' if severity == 'UNKNOWN' else "
+            "('SKIPME' if severity == 'WARN' else 'CREATE')",
+            identifier_expr="'u:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out = _routed(
+        [
+            {"text": "no tokens", "turn_idx": 0},  # UNKNOWN -> DELETE
+            {"text": "[INFO] x", "turn_idx": 1},  # -> CREATE
+            {"text": "[WARN] y", "turn_idx": 2},  # unknown action value -> skip
+        ],
+        rules,
+    ).to_pylist()
+    acts = {r["turn_idx"]: r["action"] for r in out}
+    assert acts == {0: "DELETE", 1: "CREATE"}
+    by_idx = {r["turn_idx"]: r for r in out}
+    assert by_idx[0]["dedup_key"] is None  # DELETE not dedup-gated
+    assert by_idx[1]["dedup_key"] is not None
+    assert all(r["error"] is None for r in out)
+
+
+def test_route_computed_action_eval_error_skips_silently():
+    # eval error in the action expression ⇒ element skipped, NO error row
+    # (mapping_handler.go:55-58) — unlike required-projection failures.
+    rules = [
+        ComponentRule(
+            identifier="m-err",
+            sink="s",
+            action="'CREATE' if missing_column == 'x' else 'DELETE'",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out = _routed([{"text": "[INFO] x"}], rules)
+    assert out.num_rows == 0
+
+
+def test_route_computed_delete_ignored_for_non_logs_signal():
+    # DELETE is terminal-valid only for LOGS; METRICS silently drops it
+    # (mapping_handler.go:72-99).
+    def mk(signal):
+        return ComponentRule(
+            identifier=f"m-{signal}",
+            signal=signal,
+            sink="s",
+            action="'DELETE'",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+        ).compile()
+
+    logs = _routed([{"text": "[INFO] x"}], [mk("LOGS")])
+    metrics = _routed([{"text": "[INFO] x"}], [mk("METRICS")])
+    assert logs.num_rows == 1 and logs.to_pylist()[0]["action"] == "DELETE"
+    assert metrics.num_rows == 0
+
+
 def test_route_regex_tags():
     rules = [
         ComponentRule(
