@@ -218,6 +218,55 @@ def q_route_computed_action(sf_dir: str):
     )
 
 
+def q_route_component_outputs(sf_dir: str):
+    """Component field-mapping outputs (M7 full parity, mapping.go:65-150):
+    additionalIdentifiers (required strict / optional lenient), configuration and
+    status Structs as canonical JSON (required wins over optional; non-map ⇒ null
+    like toStructValue), version, plus the payload envelope fields expireAfterMs
+    and rank.specificity (topo_stream.pb.go:501-714)."""
+    import pyarrow.compute as pc
+
+    from ..rules.model import ComponentRule
+
+    rules = [
+        ComponentRule(
+            identifier="urn:mapping:view-components",
+            sink="logs_all",
+            condition="severity == 'WARN'",
+            expire_after_ms=123_000,
+            specificity=250,
+            identifier_expr="'urn:view/' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'view'",
+            additional_identifiers=["'urn:alt/' + conv_id"],
+            optional_additional_identifiers=[
+                "'urn:opt/' + tool",
+                "'x' + missing_col",  # lenient: omitted, no error row
+            ],
+            required_configuration="pick(attrs, ['attr.et'])",
+            optional_configuration="attrs",  # never reached: required wins
+            optional_status="omit(attrs, ['attr.et'])",
+            optional_version="'v1.' + tool",
+        ).compile(),
+    ]
+    ds = routed_dataset(
+        derive_transcripts_from_events(sf_dir),
+        rules=rules,
+        dedup=False,
+        enrich_concurrency=2,
+        route_concurrency=None,
+    )
+
+    def ok_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["error"])).select(
+            [
+                "external_id", "identifiers", "configuration", "status", "version",
+                "expire_after_ms", "specificity", "conv_id", "turn_idx",
+            ]
+        )
+
+    return ds.map_batches(ok_rows, batch_format="pyarrow")
+
+
 # -- TPC-H-ish operator demos ----------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -366,6 +415,17 @@ UNION ALL
 SELECT 'metrics_tools', 'urn:mapping:metrics-watch', 'CREATE',
        'urn:tool/' || tool, conv_id, turn_idx, severity
 FROM parsed WHERE tool <> '' AND severity <> 'ERROR'""",
+    "route_component_outputs": _PARSED_SQL
+    + """SELECT 'urn:view/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS external_id,
+       '["urn:view/' || conv_id || '/' || CAST(turn_idx AS VARCHAR)
+           || '","urn:opt/' || tool || '","urn:alt/' || conv_id || '"]' AS identifiers,
+       '{"attr.et":"view"}' AS configuration,
+       '{"attr.zone":"' || regexp_extract(text, 'attr\\.zone=(\\S+)', 1) || '"}' AS status,
+       'v1.' || tool AS version,
+       CAST(123000 AS BIGINT) AS expire_after_ms,
+       CAST(250 AS DOUBLE) AS specificity,
+       conv_id, turn_idx
+FROM parsed WHERE severity = 'WARN' AND contains(text, 'attr.')""",
     "dedup_relations": _PARSED_SQL
     + """SELECT conv_id, min(turn_idx) AS turn_idx, tool,
        'urn:conv/' || conv_id || '-urn:tool/' || tool AS external_id
@@ -395,6 +455,7 @@ QUERIES = {
     "enrich_lookup": q_enrich_lookup,
     "route_fanout": q_route_fanout,
     "route_computed_action": q_route_computed_action,
+    "route_component_outputs": q_route_component_outputs,
     "agg_counts": q_agg_counts,
     "dedup_relations": q_dedup_relations,
     "q1_pricing": q_q1_pricing,

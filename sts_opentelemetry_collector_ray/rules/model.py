@@ -126,6 +126,18 @@ class ComponentRule(Rule):
     type_name_expr: str = "'turn'"
     tags: list[TagMapping] = field(default_factory=list)
     regex_tags: list[RegexTagMapping] = field(default_factory=list)
+    # Output field mappings (mapping.go:65-150; model OtelComponentMappingFieldMapping
+    # model.gen.go:880-918): required entries are strict (eval failure ⇒ error row),
+    # optional entries lenient (failure ⇒ omitted/null); for configuration / status /
+    # version, required WINS over optional when both produce a value.
+    additional_identifiers: list[str] = field(default_factory=list)  # required/strict
+    optional_additional_identifiers: list[str] = field(default_factory=list)  # lenient
+    required_configuration: Optional[str] = None  # any-expr → canonical-JSON Struct
+    optional_configuration: Optional[str] = None
+    required_status: Optional[str] = None
+    optional_status: Optional[str] = None
+    required_version: Optional[str] = None  # string expr
+    optional_version: Optional[str] = None
 
     def compile(self) -> "CompiledRule":
         return CompiledRule(self)
@@ -179,12 +191,43 @@ class CompiledRule:
             self.dependency_type = compile_expr(rule.dependency_type_expr, "string")
             self.tags: list[CompiledTag] = []
             self.regex_tags: list[CompiledRegexTag] = []
+            self.add_ids: list[CompiledExpr] = []
+            self.opt_add_ids: list[CompiledExpr] = []
+            self.req_configuration = self.opt_configuration = None
+            self.req_status = self.opt_status = None
+            self.req_version = self.opt_version = None
+            self.has_field_outputs = False
         else:
             self.identifier = compile_expr(rule.identifier_expr, "string")
             self.name = compile_expr(rule.name_expr, "string") if rule.name_expr else None
             self.type_name = compile_expr(rule.type_name_expr, "string")
             self.tags = [t.compile() for t in rule.tags]
             self.regex_tags = [t.compile() for t in rule.regex_tags]
+            # Field-mapping outputs (mapping.go:65-150).
+            self.add_ids = [
+                compile_expr(e, "string") for e in rule.additional_identifiers
+            ]
+            self.opt_add_ids = [
+                compile_expr(e, "string")
+                for e in rule.optional_additional_identifiers
+            ]
+            _c = lambda e, t: compile_expr(e, t) if e else None  # noqa: E731
+            self.req_configuration = _c(rule.required_configuration, "any")
+            self.opt_configuration = _c(rule.optional_configuration, "any")
+            self.req_status = _c(rule.required_status, "any")
+            self.opt_status = _c(rule.optional_status, "any")
+            self.req_version = _c(rule.required_version, "string")
+            self.opt_version = _c(rule.optional_version, "string")
+            self.has_field_outputs = bool(
+                self.add_ids
+                or self.opt_add_ids
+                or self.req_configuration
+                or self.opt_configuration
+                or self.req_status
+                or self.opt_status
+                or self.req_version
+                or self.opt_version
+            )
 
     @property
     def referenced_columns(self) -> set[str]:
@@ -200,6 +243,16 @@ class CompiledRule:
         else:
             exprs += [self.identifier, self.type_name] + ([self.name] if self.name else [])
             exprs += [t.expr for t in self.tags] + [t.expr for t in self.regex_tags]
+            exprs += self.add_ids + self.opt_add_ids
+            exprs += [
+                e
+                for e in (
+                    self.req_configuration, self.opt_configuration,
+                    self.req_status, self.opt_status,
+                    self.req_version, self.opt_version,
+                )
+                if e is not None
+            ]
         uses_vars = False
         for e in exprs:
             refs |= e.refs

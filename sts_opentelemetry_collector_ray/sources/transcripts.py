@@ -53,7 +53,8 @@ _EVENT_MAP = {
 }
 
 # The same derivation as ANSI SQL over the pre-registered `events` view. Text layout:
-#   parseable:   "[SEV] <event_type> k=<k>[ call:<tool>(q<k>)]"
+#   parseable:   "[SEV] <event_type> k=<k>[ call:<tool>(q<k>)][ attr.et=view attr.zone=z<k>]"
+#                (attr tokens on `view` rows only — feeds the attrs→config/status path)
 #   unparseable: "session start k=<k>"          (signup rows only)
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 WITH ev AS (
@@ -73,7 +74,9 @@ transcripts AS (
          role,
          CASE WHEN event_type = 'signup' THEN 'session start k=' || k
               ELSE '[' || sev || '] ' || event_type || ' k=' || k ||
-                   CASE WHEN tool <> '' THEN ' call:' || tool || '(q' || k || ')' ELSE '' END
+                   CASE WHEN tool <> '' THEN ' call:' || tool || '(q' || k || ')' ELSE '' END ||
+                   CASE WHEN event_type = 'view' AND k <> ''
+                        THEN ' attr.et=view attr.zone=z' || k ELSE '' END
          END AS text,
          tool,
          ts
@@ -91,10 +94,13 @@ def _events_to_turns(batch: pa.Table) -> pa.Table:
     role = et.map({e: v[1] for e, v in _EVENT_MAP.items()})
     tool = et.map({e: v[2] for e, v in _EVENT_MAP.items()})
     call = np.where(tool != "", " call:" + tool + "(q" + k + ")", "")
+    # view rows carry span-like attr tokens so the attrs→configuration/status/
+    # regex-tag paths get value-level oracles over driver testdata.
+    attr = np.where((et == "view") & (k != ""), " attr.et=view attr.zone=z" + k, "")
     text = np.where(
         et == "signup",
         "session start k=" + k,
-        "[" + sev + "] " + et + " k=" + k + call,
+        "[" + sev + "] " + et + " k=" + k + call + attr,
     )
     out = pd.DataFrame(
         {

@@ -146,23 +146,27 @@ def finalize_routed(
     from ..rules.model import default_ruleset
 
     rules = rules if rules is not None else default_ruleset()
+    # r.action is None for computed-action rules (they MAY emit CREATE rows).
     nonlocal_sources = frozenset(
         r.rule.identifier
         for r in rules
-        if r.action == "CREATE" and "conv_id" not in r.referenced_columns
+        if r.action in (None, "CREATE") and "conv_id" not in r.referenced_columns
     )
     # Saltable = rows guaranteed free of cross-salt-chunk duplicates, for two
     # DIFFERENT reasons that must both stay true:
     #  (a) CREATE rules referencing both conv_id and turn_idx → dedup key is
     #      row-unique (duplicates only as exact (conv, turn) repeats, which land
     #      in the same salt chunk);
-    #  (b) non-CREATE rules → route.py emits NULL dedup_key for every
-    #      DELETE/error row, so they are never dedup-gated at all. If tombstones
-    #      ever gain a dedup key (e.g. for anti-join matching), drop this arm.
+    #  (b) never-CREATE rules (constant DELETE/CONTINUE) → route.py emits NULL
+    #      dedup_key for every DELETE/error row, so they are never dedup-gated.
+    #      Computed-action rules (r.action is None) may emit CREATE, so they only
+    #      qualify through arm (a). If tombstones ever gain a dedup key (e.g. for
+    #      anti-join matching), drop this arm.
     saltable_sources = frozenset(
         r.rule.identifier
         for r in rules
-        if {"conv_id", "turn_idx"} <= r.referenced_columns or r.action != "CREATE"
+        if {"conv_id", "turn_idx"} <= r.referenced_columns
+        or (r.action is not None and r.action != "CREATE")
     )
     pre = ds.map_batches(
         _finalize_local(num_buckets, nonlocal_sources, saltable_sources, salt_span),

@@ -41,6 +41,18 @@ ROUTED_SCHEMA = pa.schema(
         ("name", pa.string()),
         ("type_name", pa.string()),
         ("tags", pa.string()),  # canonical JSON, null when rule has no tag mappings
+        # Field-mapping outputs (mapping.go:65-150): populated only for component
+        # rules that DEFINE them (null otherwise — [external_id] is implied, so the
+        # hot path pays nothing). identifiers order: identifier, optional
+        # additional (lenient, omitted on failure), required additional (strict).
+        ("identifiers", pa.string()),  # canonical JSON list
+        ("configuration", pa.string()),  # canonical JSON Struct (maps only)
+        ("status", pa.string()),  # canonical JSON Struct (maps only)
+        ("version", pa.string()),
+        # Payload envelope fields (topo_stream.pb.go:501-714, model.gen.go:920-924)
+        # for downstream TTL / merge-priority consumers.
+        ("expire_after_ms", pa.int64()),
+        ("specificity", pa.float64()),  # rank.specificity; null for relations
         ("source_id", pa.string()),
         ("target_id", pa.string()),
         ("dependency_type", pa.string()),
@@ -283,6 +295,11 @@ class Router:
             err_msg[newly] = f"{label}: {msg}"
             return vals
 
+        ids_vals = np.full(m, None, dtype=object)
+        config_vals = np.full(m, None, dtype=object)
+        status_vals = np.full(m, None, dtype=object)
+        version_vals = np.full(m, None, dtype=object)
+
         if rule.is_relation:
             src = required(rule.source_id, "sourceId")
             tgt = required(rule.target_id, "targetId")
@@ -308,6 +325,10 @@ class Router:
             else:
                 name_vals = np.full(m, None, dtype=object)
             tags_vals = self._eval_tags(rule, sub_env, m)
+            if rule.has_field_outputs:
+                ids_vals, config_vals, status_vals, version_vals = (
+                    self._eval_field_outputs(rule, sub_env, m, ext, required)
+                )
             src_o = np.full(m, None, dtype=object)
             tgt_o = np.full(m, None, dtype=object)
             dep = np.full(m, None, dtype=object)
@@ -359,11 +380,92 @@ class Router:
             cols["ts"] = pa.nulls(m, pa.timestamp("us"))
         else:
             cols["ts"] = pa.array(pd.Series(ts_vals[idx]), pa.timestamp("us"))
+        cols["identifiers"] = pa.array(np.where(ok, ids_vals, None), pa.string())
+        cols["configuration"] = pa.array(np.where(ok, config_vals, None), pa.string())
+        cols["status"] = pa.array(np.where(ok, status_vals, None), pa.string())
+        cols["version"] = pa.array(np.where(ok, version_vals, None), pa.string())
+        cols["expire_after_ms"] = pa.array(
+            np.full(m, rule.rule.expire_after_ms, dtype=np.int64), pa.int64()
+        )
+        cols["specificity"] = (
+            pa.nulls(m, pa.float64())  # relations carry no rank (model.gen.go:1078)
+            if rule.is_relation
+            else pa.array(np.full(m, float(rule.rule.specificity)), pa.float64())
+        )
         cols["error"] = pa.array(err_msg, pa.string())
         cols["dedup_key"] = pa.array(
             [int(v) if v is not None else None for v in dedup], pa.uint64()
         )
         return pa.table({f.name: cols[f.name] for f in ROUTED_SCHEMA})
+
+    def _eval_field_outputs(self, rule: CompiledRule, sub_env: dict, m: int, ext, required):
+        """Field-mapping outputs (mapping.go:65-150): identifiers list, configuration
+        / status Structs (canonical JSON; non-map values convert to null exactly like
+        ``toStructValue``, mapping.go:295-312), version string. Required entries are
+        strict (error row via ``required``), optional lenient; required WINS over
+        optional. Per-row loops here are gated behind ``rule.has_field_outputs`` —
+        rules without field outputs never reach this code."""
+        ids: list[list] = [[v] for v in ext]
+        for e in rule.opt_add_ids:
+            vals, errs, _ = e.eval_batch(sub_env, m)
+            for i in range(m):
+                if not errs[i] and vals[i] is not None:
+                    ids[i].append(str(vals[i]))
+        for e in rule.add_ids:
+            vals = required(e, "required.additionalIdentifiers")
+            for i in range(m):
+                if vals[i] is not None:
+                    ids[i].append(str(vals[i]))
+        if rule.add_ids or rule.opt_add_ids:
+            ids_vals = np.array(
+                [
+                    canonical_json([x for x in row if x is not None])
+                    if row[0] is not None
+                    else None
+                    for row in ids
+                ],
+                dtype=object,
+            )
+        else:
+            ids_vals = np.full(m, None, dtype=object)
+
+        def any_field(req, opt, label):
+            out = np.full(m, None, dtype=object)
+            if req is None and opt is None:
+                return out
+            if req is not None:
+                vals = required(req, f"required.{label}")
+                for i in range(m):
+                    if isinstance(vals[i], dict):
+                        out[i] = canonical_json(vals[i])
+            if opt is not None:
+                vals, errs, _ = opt.eval_batch(sub_env, m)
+                for i in range(m):
+                    if out[i] is None and not errs[i] and isinstance(vals[i], dict):
+                        out[i] = canonical_json(vals[i])
+            return out
+
+        def str_field(req, opt, label):
+            out = np.full(m, None, dtype=object)
+            if req is None and opt is None:
+                return out
+            if req is not None:
+                vals = required(req, f"required.{label}")
+                has = np.array([v is not None for v in vals])
+                out[has] = vals[has]
+            if opt is not None:
+                vals, errs, _ = opt.eval_batch(sub_env, m)
+                fill = np.array(
+                    [out[i] is None and not errs[i] and vals[i] is not None for i in range(m)]
+                )
+                if fill.any():
+                    out[fill] = np.array([str(v) if v is not None else None for v in vals], dtype=object)[fill]
+            return out
+
+        config_vals = any_field(rule.req_configuration, rule.opt_configuration, "configuration")
+        status_vals = any_field(rule.req_status, rule.opt_status, "status")
+        version_vals = str_field(rule.req_version, rule.opt_version, "version")
+        return ids_vals, config_vals, status_vals, version_vals
 
     def _eval_tags(self, rule: CompiledRule, sub_env: dict, m: int) -> np.ndarray:
         if not rule.tags and not rule.regex_tags:

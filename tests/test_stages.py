@@ -134,6 +134,54 @@ def test_route_delete_action():
     assert out[0]["dedup_key"] is None  # DELETE is not dedup-gated
 
 
+def test_route_component_field_outputs():
+    """mapping.go:65-150: identifiers order (identifier, optional, required),
+    required-wins-over-optional for configuration, non-map any-value ⇒ null
+    Struct (toStructValue), optional failure lenient, required failure strict."""
+    rules = [
+        ComponentRule(
+            identifier="m-fields",
+            sink="s",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+            additional_identifiers=["'req:' + conv_id"],
+            optional_additional_identifiers=["'opt:' + role", "'x' + missing_col"],
+            required_configuration="pick(attrs, ['attr.env'])",
+            optional_configuration="omit(attrs, [])",
+            optional_status="'not-a-map'",  # non-map ⇒ null (toStructValue nil)
+            optional_version="'v2.' + role",
+        ).compile()
+    ]
+    out = _routed(
+        [{"text": "[INFO] x attr.env=prod attr.zone=z1", "conv_id": "c9", "role": "user"}],
+        rules,
+    ).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert r["error"] is None
+    assert r["identifiers"] == '["u:c9","opt:user","req:c9"]'
+    assert r["configuration"] == '{"attr.env":"prod"}'  # required wins
+    assert r["status"] is None
+    assert r["version"] == "v2.user"
+    assert r["expire_after_ms"] == 900_000 and r["specificity"] == 100.0
+
+
+def test_route_required_additional_identifier_failure_is_strict():
+    rules = [
+        ComponentRule(
+            identifier="m-strict",
+            sink="s",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+            additional_identifiers=["'x' + missing_col"],
+        ).compile()
+    ]
+    out = _routed([{"text": "[INFO] x"}], rules).to_pylist()
+    assert len(out) == 1
+    assert out[0]["error"] is not None and out[0]["shard_id"] == "unknown"
+    assert out[0]["identifiers"] is None
+
+
 def test_route_computed_action_expression():
     """action as a CEL-lite string expression (mapping_handler.go:103-121):
     per-element CREATE/DELETE branch, unknown value ⇒ silent skip."""
