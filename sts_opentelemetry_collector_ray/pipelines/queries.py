@@ -267,6 +267,37 @@ def q_route_component_outputs(sf_dir: str):
     return ds.map_batches(ok_rows, batch_format="pyarrow")
 
 
+def q_topology_components(sf_dir: str):
+    """K6 URN component hierarchy (topology.go:29-200): namespace / service /
+    service-instance / host components with layers and canonical-JSON tags, plus
+    provided-by / executes relations, built from resource attribute columns.
+    Resource mapping over driver testdata: service.name ← tool, service.namespace
+    ← role, service.instance.id & host.id ← the attr.zone token of view rows."""
+    import pyarrow.compute as pc
+
+    from ..stages.topology import topology_stage
+
+    ds = parse_stage(derive_transcripts_from_events(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["tool"], ""))
+        zone = pc.struct_field(
+            pc.extract_regex(t["text"], r"attr\.zone=(?P<z>\S+)"), "z"
+        )
+        return pa.table({"svc": t["tool"], "ns": t["role"], "zone": zone})
+
+    src = ds.map_batches(prep, batch_format="pyarrow")
+    return topology_stage(
+        src,
+        {
+            "service.name": "svc",
+            "service.namespace": "ns",
+            "service.instance.id": "zone",
+            "host.id": "zone",
+        },
+    )
+
+
 # -- TPC-H-ish operator demos ----------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -426,6 +457,70 @@ FROM parsed WHERE tool <> '' AND severity <> 'ERROR'""",
        CAST(250 AS DOUBLE) AS specificity,
        conv_id, turn_idx
 FROM parsed WHERE severity = 'WARN' AND contains(text, 'attr.')""",
+    "topology_components": _PARSED_SQL
+    + """, res AS (
+  SELECT DISTINCT tool AS svc, role AS ns,
+         nullif(regexp_extract(text, 'attr\\.zone=(\\S+)', 1), '') AS zone
+  FROM parsed WHERE tool <> ''
+),
+comp AS (
+  SELECT DISTINCT 'component' AS kind,
+         'urn:opentelemetry:namespace/' || ns AS external_id,
+         'namespace' AS type_name, ns AS name,
+         'urn:stackpack:common:layer:applications' AS layer,
+         '' AS domain, '' AS environment, '' AS version,
+         '[]' AS identifiers, '{}' AS tags,
+         CAST(NULL AS VARCHAR) AS source_id, CAST(NULL AS VARCHAR) AS target_id
+  FROM res
+  UNION
+  SELECT DISTINCT 'component',
+         'urn:opentelemetry:namespace/' || ns || ':service/' || svc,
+         'service', svc, 'urn:stackpack:common:layer:services',
+         '', '', '', '[]',
+         '{"service.name":"' || svc || '","service.namespace":"' || ns || '"}',
+         NULL, NULL
+  FROM res
+  UNION
+  SELECT DISTINCT 'component',
+         'urn:opentelemetry:namespace/' || ns || ':service/' || svc
+             || ':serviceInstance/' || coalesce(zone, svc),
+         'service-instance', svc || ' - ' || coalesce(zone, 'instance'),
+         'urn:stackpack:common:layer:containers', '', '', '', '[]',
+         CASE WHEN zone IS NULL
+              THEN '{"service.name":"' || svc || '","service.namespace":"' || ns || '"}'
+              ELSE '{"host.id":"' || zone || '","service.instance.id":"' || zone
+                   || '","service.name":"' || svc || '","service.namespace":"' || ns || '"}'
+         END,
+         NULL, NULL
+  FROM res
+  UNION
+  SELECT DISTINCT 'component', 'urn:opentelemetry:host/' || zone, 'host', zone,
+         'urn:stackpack:common:layer:machines', '', '', '', '[]',
+         '{"host.id":"' || zone || '"}', NULL, NULL
+  FROM res WHERE zone IS NOT NULL
+),
+rel AS (
+  SELECT DISTINCT 'relation' AS kind, s || '-' || t AS external_id,
+         ty AS type_name,
+         CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS layer,
+         CAST(NULL AS VARCHAR) AS domain, CAST(NULL AS VARCHAR) AS environment,
+         CAST(NULL AS VARCHAR) AS version, CAST(NULL AS VARCHAR) AS identifiers,
+         '{}' AS tags, s AS source_id, t AS target_id
+  FROM (
+    SELECT 'urn:opentelemetry:namespace/' || ns || ':service/' || svc AS s,
+           'urn:opentelemetry:namespace/' || ns || ':service/' || svc
+               || ':serviceInstance/' || coalesce(zone, svc) AS t,
+           'provided-by' AS ty
+    FROM res
+    UNION ALL
+    SELECT 'urn:opentelemetry:host/' || zone,
+           'urn:opentelemetry:namespace/' || ns || ':service/' || svc
+               || ':serviceInstance/' || coalesce(zone, svc),
+           'executes'
+    FROM res WHERE zone IS NOT NULL
+  )
+)
+SELECT * FROM comp UNION ALL SELECT * FROM rel""",
     "dedup_relations": _PARSED_SQL
     + """SELECT conv_id, min(turn_idx) AS turn_idx, tool,
        'urn:conv/' || conv_id || '-urn:tool/' || tool AS external_id
@@ -456,6 +551,7 @@ QUERIES = {
     "route_fanout": q_route_fanout,
     "route_computed_action": q_route_computed_action,
     "route_component_outputs": q_route_component_outputs,
+    "topology_components": q_topology_components,
     "agg_counts": q_agg_counts,
     "dedup_relations": q_dedup_relations,
     "q1_pricing": q_q1_pricing,

@@ -182,6 +182,51 @@ def test_route_required_additional_identifier_failure_is_strict():
     assert out[0]["identifiers"] is None
 
 
+def test_topology_add_resource_reference_semantics():
+    """topology.go:29-200 paths the driver data can't reach: pod secondary URN,
+    faas fallback when host.id absent, scope/environment tags, k8s relation."""
+    from sts_opentelemetry_collector_ray.stages.topology import add_resource
+
+    rows = add_resource(
+        {
+            "service.name": "svc",
+            "service.namespace": "prod",
+            "service.instance.id": "i1",
+            "service.version": "2.0",
+            "deployment.environment": "staging",
+            "faas.id": "fn-7",
+            "faas.version": "9",
+            "k8s.cluster.name": "cl",
+            "k8s.namespace.name": "ns",
+            "k8s.pod.name": "pod-1",
+            "telemetry.sdk.name": "otel",
+        }
+    )
+    by_id = {(r["kind"], r["external_id"]): r for r in rows}
+    svc = by_id[("component", "urn:opentelemetry:namespace/prod:service/svc")]
+    assert svc["version"] == "2.0" and svc["environment"] == "staging"
+    assert '"telemetry.sdk.name":"otel"' in svc["tags"]
+    assert '"cluster-name":"cl"' in svc["tags"] and '"k8s-scope":"cl/ns"' in svc["tags"]
+    inst = by_id[
+        ("component", "urn:opentelemetry:namespace/prod:service/svc:serviceInstance/i1")
+    ]
+    assert inst["name"] == "svc - i1"
+    fn = by_id[("component", "urn:opentelemetry:function/fn-7")]
+    assert fn["version"] == "9" and '"faas.id":"fn-7"' in fn["tags"]
+    pod = by_id[("component", "urn:opentelemetry:kubernetes:/cl:ns:pod/pod-1")]
+    assert pod["identifiers"] == '["urn:kubernetes:/cl:ns:pod/pod-1"]'
+    rel_types = sorted(
+        r["type_name"] for r in rows if r["kind"] == "relation"
+    )
+    assert rel_types == ["executes", "kubernetes-to-otel", "provided-by"]
+    # host.id beats faas.id (first match wins)
+    rows2 = add_resource({"service.name": "s", "host.id": "h1", "faas.id": "f1"})
+    kinds = {r["type_name"] for r in rows2 if r["kind"] == "component"}
+    assert "host" in kinds and "function" not in kinds
+    # no service.name -> nothing (AddResource false path)
+    assert add_resource({"host.id": "h"}) == []
+
+
 def test_route_computed_action_expression():
     """action as a CEL-lite string expression (mapping_handler.go:103-121):
     per-element CREATE/DELETE branch, unknown value ⇒ silent skip."""
