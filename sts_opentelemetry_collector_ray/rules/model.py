@@ -104,6 +104,12 @@ def stringify_tag_value(value) -> str:
 class Rule:
     identifier: str  # the mapping's own id == output data_source
     signal: str = "LOGS"
+    # Per-level condition tree (model.gen.go:926-1070, visitor.go:36-107): the
+    # resource-level condition is evaluated FIRST and prunes the subtree — rows it
+    # rejects (or errors on, error ⇒ false) never see the leaf condition. The flat
+    # table collapses resource→scope→leaf into columns, so two ordered predicates
+    # express the tree; `condition` is the leaf/terminal-level predicate.
+    resource_condition: Optional[str] = None
     condition: Optional[str] = None  # nil ⇒ true (mapping_handler.go:128-131)
     # nil ⇒ CREATE at terminal level; a constant in ACTIONS, or any other string is
     # compiled as a per-element CEL-lite expression (mapping_handler.go:103-121)
@@ -171,6 +177,11 @@ class CompiledRule:
     def __init__(self, rule: Rule):
         self.rule = rule
         self.is_relation = isinstance(rule, RelationRule)
+        self.resource_condition = (
+            compile_expr(rule.resource_condition, "bool")
+            if rule.resource_condition
+            else None
+        )
         self.condition = (
             compile_expr(rule.condition, "bool") if rule.condition else None
         )
@@ -236,6 +247,8 @@ class CompiledRule:
         Var-indirection is resolved: referencing ``vars.x`` pulls in var x's refs."""
         refs: set[str] = set()
         exprs = [self.condition] if self.condition else []
+        if self.resource_condition is not None:
+            exprs.append(self.resource_condition)
         if self.action_expr is not None:
             exprs.append(self.action_expr)
         if self.is_relation:

@@ -217,15 +217,37 @@ class Router:
 
     # -- one rule over one batch ------------------------------------------
     def _apply_rule(self, rule: CompiledRule, env: dict, n: int) -> pa.Table | None:
-        if rule.condition is not None:
-            mask = rule.condition.eval_bool_mask(env, n)
-        else:
-            mask = np.ones(n, dtype=bool)
         if rule.action == "CONTINUE":
             return None  # no terminal output at this level (mapping_handler.go:52-58)
         if rule.action == "DELETE" and rule.rule.signal != "LOGS":
             return None  # DELETE terminal-valid only for LOGS (mapping_handler.go:72-99)
-        idx = np.nonzero(mask)[0]
+        # Per-level condition tree (visitor.go:36-107): the resource-level
+        # condition prunes the subtree FIRST — leaf conditions evaluate only over
+        # the surviving row subset, never over pruned rows.
+        if rule.resource_condition is not None:
+            rmask = rule.resource_condition.eval_bool_mask(env, n)
+            ridx = np.nonzero(rmask)[0]
+            if ridx.size == 0:
+                return None
+            if rule.condition is not None:
+                cenv: dict = {}
+                for k in rule.condition.refs:
+                    if k not in env:
+                        continue
+                    v = dict.__getitem__(env, k)
+                    cenv[k] = (
+                        v.take(ridx).materialize()
+                        if isinstance(v, _LazyMap)
+                        else v[ridx]
+                    )
+                lmask = rule.condition.eval_bool_mask(cenv, ridx.size)
+                idx = ridx[lmask]
+            else:
+                idx = ridx
+        elif rule.condition is not None:
+            idx = np.nonzero(rule.condition.eval_bool_mask(env, n))[0]
+        else:
+            idx = np.arange(n)
         if idx.size == 0:
             return None
         sub_env: dict = {}

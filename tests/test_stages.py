@@ -182,6 +182,44 @@ def test_route_required_additional_identifier_failure_is_strict():
     assert out[0]["identifiers"] is None
 
 
+def test_route_per_level_condition_tree():
+    """visitor.go:36-107 / model.gen.go:926-1070: the resource-level condition
+    prunes the subtree before the leaf condition runs; a resource-condition
+    error ⇒ false prunes even rows whose leaf condition is true."""
+    rules = [
+        ComponentRule(
+            identifier="m-tree",
+            sink="s",
+            resource_condition="severity == 'ERROR'",
+            condition="tool != ''",
+            identifier_expr="'u:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out = _routed(
+        [
+            {"text": "[ERROR] x", "tool": "bash", "turn_idx": 0},  # both pass
+            {"text": "[ERROR] y", "tool": "", "turn_idx": 1},  # leaf fails
+            {"text": "[INFO] z", "tool": "bash", "turn_idx": 2},  # resource prunes
+        ],
+        rules,
+    ).to_pylist()
+    assert [r["turn_idx"] for r in out] == [0]
+    # resource condition eval error => false => subtree pruned (no error row)
+    rules_err = [
+        ComponentRule(
+            identifier="m-tree-err",
+            sink="s",
+            resource_condition="missing_col == 'x'",
+            condition="tool != ''",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    out2 = _routed([{"text": "[ERROR] x", "tool": "bash"}], rules_err)
+    assert out2.num_rows == 0
+
+
 def test_topology_add_resource_reference_semantics():
     """topology.go:29-200 paths the driver data can't reach: pod secondary URN,
     faas fallback when host.id absent, scope/environment tags, k8s relation."""
