@@ -68,15 +68,19 @@ def q_events_sessionize(sf_dir: str):
 
 
 def q_neardup_components(sf_dir: str):
-    """Full near-dup resolution: MinHash-LSH candidate pairs → verified Jaccard →
-    connected components (min-label propagation). Rows-only (LSH recall; the
-    union-find oracle lives in tests)."""
-    from ..stages.clusters import connected_components
+    """Full near-dup resolution: MinHash-LSH candidate pairs → signature-Jaccard
+    verify → IN-CLUSTER connected components (min-label propagation via
+    Dataset.join; no driver-side pair or label materialization). Rows-only (LSH
+    recall; the union-find oracle lives in tests)."""
+    from ..stages.clusters import connected_components_distributed
     from ..stages.dedup_docs import minhash_lsh_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
-    return connected_components(pairs)
+    labels = connected_components_distributed(pairs)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
+    )
 
 
 def q_sg_latency_quantiles(sf_dir: str):

@@ -70,60 +70,117 @@ def connected_components_distributed(
     a_col: str = "a",
     b_col: str = "b",
     max_rounds: int = 10,
+    num_buckets: int = 16,
 ) -> "ray.data.Dataset":
-    """The same min-label propagation expressed as Ray Data groupby rounds — the
-    scale path when the pair set itself exceeds driver memory. Each round is one
-    `groupby(node).aggregate(Min(label))` shuffle over (edges ∪ self-labels)."""
+    """Min-label propagation entirely IN-CLUSTER — labels never visit the driver.
+
+    Each round is two BOUNDED bucket exchanges over datasets the size of the pair
+    graph (≪ the corpus): (1) *push* — edges bucketed by ``hash(head) % B`` meet
+    the labels bucketed the same way, and one vectorized pandas ``merge`` per
+    bucket sends each node's label to its neighbors; (2) *fold* — candidates and
+    own labels bucket by ``hash(node) % B`` and one vectorized ``groupby.min``
+    per bucket takes the new label. (A bucketed merge instead of `Dataset.join`:
+    Ray's join/aggregate emit schema-less EMPTY partition blocks that
+    ``map_batches`` skips, and a schema-less block on the probe side sinks the
+    next round's Acero key resolution.)
+
+    The only driver-side values are two scalars per round: the label-sum
+    checksum (labels are monotone non-increasing, so an unchanged sum ⟺ fixed
+    point; int64 wrap makes it a checksum with an astronomically unlikely false
+    stop). ``max_rounds`` bounds the loop at O(cluster diameter); near-dup
+    clusters are quasi-cliques, so a handful of rounds suffices."""
     import pyarrow as pa
 
-    edges = pairs.map_batches(
-        lambda t: pa.table(
+    B = np.uint64(num_buckets)
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t[a_col].combine_chunks().cast(pa.int64()),
+             t[b_col].combine_chunks().cast(pa.int64())]
+        )
+        v = pa.concat_arrays(
+            [t[b_col].combine_chunks().cast(pa.int64()),
+             t[a_col].combine_chunks().cast(pa.int64())]
+        )
+        bv = (v.to_numpy(zero_copy_only=False).astype(np.uint64) % B).astype(np.int32)
+        # label column null on edge rows; the per-bucket fn splits on it
+        return pa.table(
+            {"u": u, "v": v, "label": pa.nulls(len(u), pa.int64()),
+             "_b": pa.array(bv, pa.int32())}
+        )
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow").materialize()
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks().cast(pa.int64())
+        bv = (node.to_numpy(zero_copy_only=False).astype(np.uint64) % B).astype(np.int32)
+        return pa.table(
+            {"u": pa.nulls(len(node), pa.int64()), "v": node,
+             "label": t["label"].combine_chunks().cast(pa.int64()),
+             "_b": pa.array(bv, pa.int32())}
+        )
+
+    def push_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One head-bucket: neighbors inherit the bucket's node labels."""
+        is_label = g["label"].notna().to_numpy()
+        lab = g.loc[is_label, ["v", "label"]].rename(columns={"v": "node"})
+        edge = g.loc[~is_label, ["u", "v"]]
+        cand = edge.merge(lab, left_on="v", right_on="node")[["u", "label"]]
+        out = pd.concat(
+            [cand.rename(columns={"u": "node"}), lab], ignore_index=True
+        )
+        return out.astype({"node": np.int64, "label": np.int64})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    def bucket_by_node(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["node"].to_numpy().astype(np.uint64) % B).astype(np.int32)
+        return df.assign(_b=b)
+
+    # init: every node's label = min(itself, neighbors) — one fold over edges
+    init = edges.map_batches(
+        lambda t: pd.DataFrame(
             {
-                "u": pa.concat_arrays(
-                    [t[a_col].combine_chunks().cast(pa.int64()),
-                     t[b_col].combine_chunks().cast(pa.int64())]
-                ),
-                "v": pa.concat_arrays(
-                    [t[b_col].combine_chunks().cast(pa.int64()),
-                     t[a_col].combine_chunks().cast(pa.int64())]
-                ),
+                "node": np.concatenate(
+                    [t["u"].to_numpy(zero_copy_only=False)] * 2
+                ).astype(np.int64),
+                "label": np.concatenate(
+                    [t["v"].to_numpy(zero_copy_only=False),
+                     t["u"].to_numpy(zero_copy_only=False)]
+                ).astype(np.int64),
             }
         ),
         batch_format="pyarrow",
-    ).materialize()  # reused every round — small (pair set ≪ corpus)
-
-    labels = edges.groupby("u").aggregate(Min("v", alias_name="label"))
-
-    def relabel(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lab = pc.min_element_wise(t["u"], t["label"])
-        return pa.table({"node": t["u"], "label": lab})
-
-    labels = labels.map_batches(relabel, batch_format="pyarrow").materialize()
-    for _ in range(max_rounds - 1):
-        lab_df = labels.to_pandas().set_index("node")["label"]
-
-        def push(t: pa.Table, lab=lab_df) -> pa.Table:
-            u = t["u"].to_numpy(zero_copy_only=False)
-            v = t["v"].to_numpy(zero_copy_only=False)
-            # every node appears as `u` (both directions emitted), so after the
-            # first round `lab` covers all of `v`
-            vl = lab.loc[v].to_numpy()
-            return pa.table({"node": pa.array(u), "cand": pa.array(vl.astype(np.int64))})
-
-        cand = edges.map_batches(push, batch_format="pyarrow")
-        own = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
-            batch_format="pyarrow",
+    )
+    labels = (
+        init.map_batches(bucket_by_node, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: fold_bucket(g.drop(columns=["_b"])), batch_format="pandas"
         )
-        merged = cand.union(own).groupby("node").aggregate(Min("cand", alias_name="label"))
-        new_labels = merged.materialize()
-        if new_labels.to_pandas().set_index("node")["label"].equals(
-            labels.to_pandas().set_index("node")["label"]
-        ):
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds - 1):
+        stream = edges.union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+        )
+        cands = stream.groupby("_b").map_groups(
+            lambda g: push_bucket(g.drop(columns=["_b"])), batch_format="pandas"
+        )
+        labels = (
+            cands.map_batches(bucket_by_node, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(
+                lambda g: fold_bucket(g.drop(columns=["_b"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
             break
-        labels = new_labels
+        prev_sum = cur_sum
     return labels
 
 

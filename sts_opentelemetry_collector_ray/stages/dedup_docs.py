@@ -2,12 +2,13 @@
 embedding-cosine near-dup.
 
 Training-data-pipeline operators over the `documents` / `embeddings` tables
-(SURVEY.md scope extension). Shared scale pattern: per-batch vectorized signature
-computation → explode to (bucket, doc) rows → `groupby(bucket)` co-locates candidates
-→ vectorized verification inside the group → candidate pairs. Connected-component
-clustering is left to a driver-side union-find over the (small) verified pair set;
-at 100 TB the pair set is the operator's contract and clustering is a follow-on
-groupby round (documented in each function).
+(SURVEY.md scope extension). Shared scale pattern: per-batch WHOLE-BATCH vectorized
+signature computation (reduceat segment kernels, no per-row loops) → explode to
+(bucket, doc, signature) rows — signatures only, the document text never enters the
+shuffle → `groupby(bucket)` co-locates candidates → vectorized verification inside
+the group → candidate pairs → bounded-bucket pair dedup (`dedup_pair_list`; a pair
+key is unbounded-cardinality, so never `groupby(pair)`). Clustering the verified
+pair set is `stages/clusters.py::connected_components_distributed`.
 """
 
 from __future__ import annotations
@@ -77,6 +78,87 @@ def _minhash(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nda
     return hv.min(axis=0)
 
 
+def _minhash_signatures(
+    texts: np.ndarray,
+    a_par: np.ndarray,
+    b_par: np.ndarray,
+    shingle_k: int,
+    max_chunk_shingles: int = 131_072,
+) -> np.ndarray:
+    """Whole-batch MinHash: ALL shingles of a doc slice are hashed in one
+    vectorized call, then per-doc minima fall out of ONE `np.minimum.reduceat`
+    over the (shingles × permutations) matrix — no per-doc Python in the hash or
+    min path. ``max_chunk_shingles`` bounds the intermediate matrix (~64 MB at
+    the default 64 permutations)."""
+    num_perm = len(a_par)
+    n = len(texts)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    i = 0
+    while i < n:
+        shingle_lists: list[list[str]] = []
+        total = 0
+        j = i
+        while j < n and (total == 0 or total < max_chunk_shingles):
+            s = " ".join(str(texts[j]).lower().split())
+            if len(s) < shingle_k:
+                sl = [s] if s else []
+            else:
+                sl = [s[t : t + shingle_k] for t in range(len(s) - shingle_k + 1)]
+            shingle_lists.append(sl)
+            total += len(sl)
+            j += 1
+        cnt = np.array([len(sl) for sl in shingle_lists], dtype=np.int64)
+        block = np.full((j - i, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        flat = [sh for sl in shingle_lists for sh in sl]
+        if flat:
+            h = fnv1a64_array(flat).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hv = (h[:, None] * a_par[None, :] + b_par[None, :]) % np.uint64(
+                    _MERSENNE
+                )
+            nz = cnt > 0
+            starts = np.concatenate([[0], np.cumsum(cnt[nz])[:-1]]).astype(np.int64)
+            block[nz] = np.minimum.reduceat(hv, starts, axis=0)
+        sigs[i:j] = block
+        i = j
+    return sigs
+
+
+def _fnv64_byte_matrix(mat: np.ndarray) -> np.ndarray:
+    """Row-wise FNV-1a64 over a fixed-width uint8 matrix — vectorized across rows."""
+    acc = np.full(len(mat), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for c in range(mat.shape[1]):
+            acc = (acc ^ mat[:, c].astype(np.uint64)) * prime
+    return acc
+
+
+def dedup_pair_list(
+    pairs: "ray.data.Dataset", num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Exact (a, b) pair dedup via a BOUNDED bucket exchange + one vectorized
+    `drop_duplicates` per bucket — never one Python group per pair (the same
+    two-level shape as `exact_dedup`; a pair key is unbounded-cardinality)."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        h = pd.util.hash_array((a * np.int64(1_000_003)) ^ b) % num_buckets
+        return df.assign(_bucket=h.astype(np.int32))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"])
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.drop_duplicates(["a", "b"], keep="first")
+
+    return (
+        pairs.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -87,62 +169,67 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> "ray.data.Dataset":
-    """Candidate near-dup pairs via MinHash banding, verified by true shingle-set
-    Jaccard (guide pattern: shingle → minhash → band → bucket groupby → verify).
+    """Candidate near-dup pairs via MinHash banding, verified by SIGNATURE Jaccard
+    (the unbiased estimator: fraction of agreeing permutations).
 
-    Output: (a, b, jaccard) with a < b, Jaccard ≥ threshold. Pair verification
-    re-shingles the two texts inside the band group — the texts ride along with the
-    band rows so verification needs no second join; at 100 TB swap the ride-along for
-    a gather against the doc store (documented trade-off: bandwidth vs join)."""
+    Scale design: band rows carry (band, band_hash, doc_id, signature-bytes) — the
+    512-byte signature, never the document text, so the shuffle moves
+    O(bands × 512 B) per doc regardless of document size. Signature computation is
+    whole-batch vectorized (`_minhash_signatures`); verification inside each band
+    group is one numpy equality-mean per anchor row; the multi-band pair dedup is
+    the bounded-bucket `dedup_pair_list`, not a per-pair group.
+
+    Output: (a, b, jaccard) with a < b, estimated Jaccard ≥ threshold."""
     rows_per_band = num_perm // bands
     a_par, b_par = _perm_params(num_perm, seed)
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in df.iterrows():
-            sh = _shingles(row[text_col], shingle_k)
-            mh = _minhash(sh, a_par, b_par)
-            for band in range(bands):
-                chunk = mh[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = fnv1a64(chunk.tobytes())
-                out.append(
-                    {
-                        "band": band,
-                        "band_hash": np.uint64(bh),
-                        id_col: row[id_col],
-                        text_col: row[text_col],
-                    }
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"band": pd.Series(dtype=np.int32),
+                 "band_hash": pd.Series(dtype=np.uint64),
+                 id_col: pd.Series(dtype=np.int64),
+                 "sig": pd.Series(dtype=object)}
+            )
+        mh = _minhash_signatures(
+            df[text_col].to_numpy(dtype=object), a_par, b_par, shingle_k
+        )
+        sig_bytes = [row.tobytes() for row in mh]
+        ids = df[id_col].to_numpy()
+        frames = []
+        for band in range(bands):
+            chunk = mh[:, band * rows_per_band : (band + 1) * rows_per_band]
+            bh = _fnv64_byte_matrix(
+                np.ascontiguousarray(chunk).view(np.uint8).reshape(n, -1)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"band": np.int32(band), "band_hash": bh, id_col: ids,
+                     "sig": sig_bytes}
                 )
-        return pd.DataFrame(out)
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
                                  "jaccard": pd.Series(dtype=np.float64)})
-        g = g.sort_values(id_col)
+        g = g.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
-        texts = g[text_col].to_numpy()
-        sh = [set(_shingles(t, shingle_k).tolist()) for t in texts]
+        sig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i] | sh[j])
-                jac = inter / union if union else 0.0
-                if jac >= jaccard_threshold:
-                    out.append((int(ids[i]), int(ids[j]), round(jac, 6)))
+        for i in range(len(ids) - 1):
+            est = (sig[i + 1 :] == sig[i]).mean(axis=1)
+            for off in np.nonzero(est >= jaccard_threshold)[0]:
+                out.append((int(ids[i]), int(ids[i + 1 + off]), round(float(est[off]), 6)))
         return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
     sig = ds.map_batches(sigs, batch_format="pandas")
     pairs = sig.groupby(["band", "band_hash"]).map_groups(verify, batch_format="pandas")
-    # same pair can surface from multiple bands — exact-dedup the pair list
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["a", "b"])
-
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # same pair can surface from multiple bands — bounded-bucket exact dedup
+    return dedup_pair_list(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -150,22 +237,27 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """64-bit SimHash over whitespace tokens (weighted bit-vote)."""
+    """64-bit SimHash over whitespace tokens (majority bit-vote), whole-batch
+    vectorized: one hash call over every token in the batch, all 64 bit-votes at
+    once via `np.unpackbits`, per-doc sums via `np.add.reduceat`, repacked with
+    `np.packbits` — no per-row or per-bit Python loops."""
     out = np.zeros(len(df), dtype=np.uint64)
-    for i, txt in enumerate(df[text_col].to_numpy(dtype=object)):
-        toks = str(txt).lower().split()
-        if not toks:
-            continue
-        hv = fnv1a64_array(toks)
-        votes = np.zeros(64, dtype=np.int64)
-        for bit in range(64):
-            mask = (hv >> np.uint64(bit)) & np.uint64(1)
-            votes[bit] = int(mask.sum()) * 2 - len(hv)
-        sh = np.uint64(0)
-        for bit in range(64):
-            if votes[bit] > 0:
-                sh |= np.uint64(1) << np.uint64(bit)
-        out[i] = sh
+    tok_lists = [str(t).lower().split() for t in df[text_col].to_numpy(dtype=object)]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    if flat:
+        hv = fnv1a64_array(flat).astype(np.uint64)
+        # (tokens, 64) bit matrix, bit index == (value >> bit) & 1
+        bits = np.unpackbits(
+            hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        nz = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]]).astype(np.int64)
+        votes = np.add.reduceat(bits, starts, axis=0)  # (nz_docs, 64)
+        maj = (votes * 2) > counts[nz][:, None]  # votes[b]*2 - n > 0
+        out[nz] = np.packbits(
+            maj.astype(np.uint8), axis=1, bitorder="little"
+        ).view(np.uint64).ravel()
     return df.assign(simhash=out)
 
 
@@ -208,16 +300,18 @@ def simhash_pairs(
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy(dtype=np.uint64)
         out = []
-        for i in range(len(ids)):
+        for i in range(len(ids) - 1):
             x = sh[i] ^ sh[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            # vectorized popcount: unpack XOR words to bits, sum per row
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
             for off in np.nonzero(ham <= max_hamming)[0]:
                 out.append((int(ids[i]), int(ids[i + 1 + off]), int(ham[off])))
         return pd.DataFrame(out, columns=["a", "b", "hamming"])
 
     sig = ds.map_batches(explode, batch_format="pandas")
     pairs = sig.groupby(["block", "block_val"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # multi-block duplicates collapse via the bounded-bucket pair dedup
+    return dedup_pair_list(pairs)
 
 
 # ---------------------------------------------------------------------------
