@@ -112,7 +112,10 @@ def _events_to_turns(batch: pa.Table) -> pa.Table:
             "ts": df["ts"],
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # strip the pandas schema metadata: pyarrow 16 schemas carrying it are
+    # UNHASHABLE, which defeats Ray's block-schema dedup (a warning per reduce
+    # task and a slow unify on every exchange)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def _number_turns_bucket(group: pd.DataFrame) -> pd.DataFrame:

@@ -115,16 +115,23 @@ def red_metrics(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        # Arrow-native partial aggregate — no pandas round-trip inside the stage
         g = (
-            df.groupby(["tool", "client_role"], as_index=False)
-            .agg(
-                n=("failed", "size"),
-                failed=("failed", "sum"),
-                latency_us_sum=("latency_us", "sum"),
+            t.select(["tool", "client_role", "failed", "latency_us"])
+            .group_by(["tool", "client_role"])
+            .aggregate(
+                [("failed", "count"), ("failed", "sum"), ("latency_us", "sum")]
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "tool": g["tool"],
+                "client_role": g["client_role"],
+                "n": g["failed_count"].cast(pa.int64()),
+                "failed": g["failed_sum"].cast(pa.int64()),
+                "latency_us_sum": g["latency_us_sum"].cast(pa.int64()),
+            }
+        )
 
     partials = edges.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["tool", "client_role"]).aggregate(
