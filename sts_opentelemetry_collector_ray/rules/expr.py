@@ -475,6 +475,17 @@ class CompiledExpr:
                 arr = np.full(n, out, dtype=object)
             return arr, np.zeros(n, dtype=bool), None
         except Exception:
+            # a referenced column absent from the env fails EVERY row identically —
+            # short-circuit instead of the per-row fallback loop
+            missing = [
+                c for c in self.refs if c != "vars" and c not in env
+            ]
+            if missing:
+                return (
+                    np.full(n, None, dtype=object),
+                    np.ones(n, dtype=bool),
+                    f"KeyError: {missing[0]!r}",
+                )
             return self._eval_rows(env, n)
 
     def _eval_rows(self, env: dict[str, Any], n: int):

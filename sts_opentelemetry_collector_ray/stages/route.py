@@ -141,6 +141,21 @@ def _encode_col(sub: np.ndarray) -> pa.Array:
     sample = next((v for v in sub if v is not None), None)
     if sample is None or isinstance(sample, str):
         return pc.binary_join_element_wise("s:", pa.array(sub, pa.string()), "")
+    if isinstance(sample, dict):
+        # attr maps repeat massively — encode each DISTINCT map once per batch
+        cache: dict = {}
+        out = np.empty(len(sub), dtype=object)
+        for i, v in enumerate(sub):
+            try:
+                key = tuple(sorted(v.items())) if isinstance(v, dict) else v
+            except TypeError:
+                out[i] = _typed_repr(v)
+                continue
+            hit = cache.get(key)
+            if hit is None:
+                hit = cache[key] = _typed_repr(v)
+            out[i] = hit
+        return pa.array(out, pa.string())
     return pa.array([_typed_repr(v) for v in sub], pa.string())
 
 
@@ -333,7 +348,12 @@ class Router:
                 np.char.add(src[ok].astype(str), "-"), tgt[ok].astype(str)
             ).astype(object)
             dep = np.full(m, None, dtype=object)
-            dep[ok] = [normalize_dependency(v) for v in dep_raw[ok]]
+            if ok.any():
+                # normalize once per DISTINCT value (usually a constant expr)
+                uniq, inv = np.unique(dep_raw[ok].astype(str), return_inverse=True)
+                dep[ok] = np.array(
+                    [normalize_dependency(v) for v in uniq], dtype=object
+                )[inv]
             name_vals = np.full(m, None, dtype=object)
             tags_vals = np.full(m, None, dtype=object)
             src_o, tgt_o = src, tgt
