@@ -298,6 +298,34 @@ def q_topology_components(sf_dir: str):
     )
 
 
+def q_urn_expand(sf_dir: str):
+    """M18 URN templating through the driver gate: compile once, expand
+    vectorized over aligned columns; a missing/empty variable skips the whole
+    template (identifier.go:60-77)."""
+    from ..functions.urn import UrnTemplate
+
+    tpl = UrnTemplate("urn:conv/${conv_id}:tool/${tool}:k/${call_arg}")
+    ds = parse_stage(derive_transcripts_from_events(sf_dir))
+
+    def expand(t: pa.Table) -> pa.Table:
+        urn = tpl.expand_columns(
+            {
+                "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+                "tool": t["tool"].to_numpy(zero_copy_only=False),
+                "call_arg": t["call_arg"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "urn": pa.array(urn, pa.string()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 # -- TPC-H-ish operator demos ----------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -521,6 +549,12 @@ rel AS (
   )
 )
 SELECT * FROM comp UNION ALL SELECT * FROM rel""",
+    "urn_expand": _PARSED_SQL
+    + """SELECT conv_id, turn_idx,
+       CASE WHEN tool <> '' AND coalesce(call_arg, '') <> ''
+            THEN 'urn:conv/' || conv_id || ':tool/' || tool || ':k/' || call_arg
+            ELSE NULL END AS urn
+FROM parsed""",
     "dedup_relations": _PARSED_SQL
     + """SELECT conv_id, min(turn_idx) AS turn_idx, tool,
        'urn:conv/' || conv_id || '-urn:tool/' || tool AS external_id
@@ -552,6 +586,7 @@ QUERIES = {
     "route_computed_action": q_route_computed_action,
     "route_component_outputs": q_route_component_outputs,
     "topology_components": q_topology_components,
+    "urn_expand": q_urn_expand,
     "agg_counts": q_agg_counts,
     "dedup_relations": q_dedup_relations,
     "q1_pricing": q_q1_pricing,

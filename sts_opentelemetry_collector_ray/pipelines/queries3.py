@@ -83,6 +83,16 @@ def q_neardup_components(sf_dir: str):
     )
 
 
+def q_docs_neardup_dedup(sf_dir: str):
+    """Keep-one-per-near-dup-cluster dedup: LSH pairs → in-cluster components →
+    bucketed anti-join of non-representatives. Rows-only (LSH recall)."""
+    from ..stages.dedup_docs import neardup_dedup_docs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = neardup_dedup_docs(ds, jaccard_threshold=0.5)
+    return out.select_columns(["doc_id"])
+
+
 def q_sg_latency_quantiles(sf_dir: str):
     """Approximate latency percentiles per tool from a mergeable log-bin sketch
     (rows-only: the estimate is approximate by design; accuracy bounds are
@@ -143,5 +153,6 @@ QUERIES3 = {
     "media_features": q_media_features,
     "events_sessionize": q_events_sessionize,
     "neardup_components": q_neardup_components,
+    "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
 }

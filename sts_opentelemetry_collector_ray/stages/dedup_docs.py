@@ -232,6 +232,66 @@ def minhash_lsh_pairs(
     return dedup_pair_list(pairs)
 
 
+def neardup_dedup_docs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_buckets: int = 64,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Near-dup DEDUP, keep-one-per-cluster: MinHash-LSH pairs → in-cluster
+    connected components → drop every non-representative doc (its component
+    label < its own id) via a bucketed ANTI-JOIN — the drop set never rides
+    through the driver or a broadcast, so an adversarial corpus that is 90%
+    duplicates still streams.
+
+    NOTE: ``ds`` is consumed twice (signature pass, anti-join pass) — pass a
+    re-readable source (``read_parquet``), not an expensive derived pipeline
+    (branching a lazy Dataset re-executes its upstream per branch)."""
+    from .clusters import connected_components_distributed
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, **lsh_kwargs,
+    )
+    labels = connected_components_distributed(pairs)
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = t.filter(pc.not_equal(t["node"], t["label"]))
+        return pa.table({id_col: dup["node"].cast(pa.int64())})
+
+    drop_ids = labels.map_batches(drops, batch_format="pyarrow")
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = (pd.util.hash_array(df[id_col].to_numpy().astype(np.int64)) % num_buckets).astype(np.int32)
+        return pd.DataFrame(
+            {id_col: df[id_col].astype(np.int64), text_col: df[text_col],
+             "_drop": False, "_bucket": b}
+        )
+
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = (pd.util.hash_array(df[id_col].to_numpy().astype(np.int64)) % num_buckets).astype(np.int32)
+        return pd.DataFrame(
+            {id_col: df[id_col].astype(np.int64), text_col: None,
+             "_drop": True, "_bucket": b}
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        bad = set(g.loc[g["_drop"], id_col])
+        keep = g[~g["_drop"] & ~g[id_col].isin(bad)]
+        return keep[[id_col, text_col]]
+
+    stream = ds.map_batches(doc_rows, batch_format="pandas").union(
+        drop_ids.map_batches(drop_rows, batch_format="pandas")
+    )
+    return stream.groupby("_bucket").map_groups(
+        lambda g: anti(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -75,6 +75,16 @@ def test_ngram_jaccard_is_exact_oracle(docs):
     assert got_pairs == exp
 
 
+def test_neardup_dedup_keeps_one_per_cluster(docs):
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import neardup_dedup_docs
+
+    ds = ray.data.from_pandas(docs)
+    kept = sorted(neardup_dedup_docs(ds, jaccard_threshold=0.5).to_pandas()["doc_id"])
+    # docs 0/1/2 form a near-dup cluster -> representative 0 survives; 3,4,5 distinct
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {3, 4, 5} <= set(kept)
+
+
 def test_simhash_pairs(docs):
     ds = ray.data.from_pandas(docs)
     pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
