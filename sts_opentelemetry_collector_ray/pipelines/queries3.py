@@ -4,6 +4,7 @@ normalization (M14), BPE-ish regex token counting, multimodal feature plumbing."
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from ..stages.body import normalize_body
@@ -83,6 +84,45 @@ def q_neardup_components(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Hopping/sliding-window aggregate (1h window, 30min hop): each event lands
+    in exactly size/hop windows — explode per batch (vectorized), pre-combine,
+    then one small groupby. The streaming-window → batch translation family of
+    SURVEY §2.9 alongside tumbling (`events_hourly`) and session
+    (`events_sessionize`) windows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    SIZE, HOP = 3600, 1800
+    k = SIZE // HOP  # windows per event
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = epoch // HOP  # newest window index containing the event
+        et = t["event_type"]
+        pieces = []
+        for i in range(k):
+            pieces.append(
+                pa.table(
+                    {
+                        "event_type": et,
+                        "window_start": pa.array((base - i) * HOP, pa.int64()),
+                    }
+                )
+            )
+        both = pa.concat_tables(pieces)
+        g = both.group_by(["event_type", "window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "window_start", "p_n"])
+
+    partials = ds.map_batches(explode, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("p_n", alias_name="n")
+    )
+    return agg
+
+
 def q_docs_neardup_dedup(sf_dir: str):
     """Keep-one-per-near-dup-cluster dedup: LSH pairs → in-cluster components →
     bucketed anti-join of non-representatives. Rows-only (LSH recall)."""
@@ -112,6 +152,12 @@ def _model_case() -> str:
 
 
 ORACLES3: dict[str, str] = {
+    "events_sliding": """
+SELECT event_type,
+       (CAST(floor(epoch(ts) / 1800) AS BIGINT) - shifts.i) * 1800 AS window_start,
+       COUNT(*) AS n
+FROM events, (SELECT 0 AS i UNION ALL SELECT 1) shifts
+GROUP BY 1, 2""",
     "metrics_dispatch": f"""
 SELECT event_id,
        {_model_case()} AS model,
@@ -152,6 +198,7 @@ QUERIES3 = {
     "docs_token_count_bpe": q_docs_token_count_bpe,
     "media_features": q_media_features,
     "events_sessionize": q_events_sessionize,
+    "events_sliding": q_events_sliding,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
