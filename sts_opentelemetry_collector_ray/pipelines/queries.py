@@ -366,13 +366,18 @@ def q_q1_pricing(sf_dir: str):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        # np.round divides by 10^d (exact decimal repr like DuckDB ROUND);
+        # pc.round multiplies by 10^-d and lands 1 ulp off (199.42000000000002)
+        def r2(col):
+            return pa.array(np.round(col.to_numpy(zero_copy_only=False), 2))
+
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "sum_qty": pc.round(t["s_qty"], 2),
-                "sum_base_price": pc.round(t["s_base"], 2),
-                "sum_disc_price": pc.round(t["s_disc"], 2),
+                "sum_qty": r2(t["s_qty"]),
+                "sum_base_price": r2(t["s_base"]),
+                "sum_disc_price": r2(t["s_disc"]),
                 "n": t["n"],
             }
         )
@@ -427,13 +432,14 @@ def q_events_hourly(sf_dir: str):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table(
             {
                 "event_type": t["event_type"],
                 "hour": t["hour"],
-                "sum_value": pc.round(t["s_val"], 2),
+                # np.round == DuckDB ROUND bit-for-bit (see q1_pricing finalize)
+                "sum_value": pa.array(
+                    np.round(t["s_val"].to_numpy(zero_copy_only=False), 2)
+                ),
                 "n": t["n"],
             }
         )

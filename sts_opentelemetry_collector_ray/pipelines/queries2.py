@@ -261,7 +261,7 @@ FROM edges GROUP BY tool, client_role""",
 FROM edges GROUP BY client_role, tool""",
     "sg_latency_hist": _EDGES_SQL
     + f"""SELECT tool,
-       CAST(len(list_filter({_BOUNDS_SQL}, b -> b < latency_us / 1000000.0)) AS INTEGER) AS bucket_idx,
+       CAST(len(list_filter({_BOUNDS_SQL}, b -> b < latency_us / 1000000.0)) AS BIGINT) AS bucket_idx,
        COUNT(*) AS n
 FROM edges GROUP BY 1, 2""",
     "docs_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
