@@ -84,6 +84,52 @@ def q_neardup_components(sf_dir: str):
     )
 
 
+def q_docs_vocab(sf_dir: str):
+    """Vocabulary building: global token counts → top-20 by (count desc, token).
+    Per-batch Arrow combiner (local token counts) → hash-aggregate groupby(token)
+    (Ray hash aggregate, NOT per-group Python) → tiny sort+limit. The classic
+    map-reduce wordcount at training-corpus scale."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = toks.combine_chunks().flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"token": flat}).group_by(["token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "pn"])
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    agg = partials.groupby("token").aggregate(Sum("pn", alias_name="n"))
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(20)
+    return top
+
+
+def q_docs_split(sf_dir: str):
+    """Deterministic train/val split by content-independent id hash
+    (fnv1a32(doc_id) % 100 < 90 → train) — reproducible across runs and
+    machines, no RNG state; the sampling-operator family (O4) applied to
+    dataset splitting."""
+    from ..functions.hashing import fnv1a32_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def split(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+        h = fnv1a32_arrow(ids) % np.uint64(100)
+        lab = np.where(h < 90, "train", "val")
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(lab.astype(object), pa.string())}
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str):
     """Hopping/sliding-window aggregate (1h window, 30min hop): each event lands
     in exactly size/hop windows — explode per batch (vectorized), pre-combine,
@@ -151,7 +197,23 @@ def _model_case() -> str:
     return f"CASE event_type {arms} ELSE 'gauge' END"
 
 
+_FNV32_DOC = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "list_transform(string_split(CAST(doc_id AS VARCHAR), ''), "
+    "c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 100"
+)
+
 ORACLES3: dict[str, str] = {
+    "docs_vocab": """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "docs_split": f"""
+SELECT doc_id, CASE WHEN {_FNV32_DOC} < 90 THEN 'train' ELSE 'val' END AS split
+FROM documents""",
     "events_sliding": """
 SELECT event_type,
        (CAST(floor(epoch(ts) / 1800) AS BIGINT) - shifts.i) * 1800 AS window_start,
@@ -199,6 +261,8 @@ QUERIES3 = {
     "media_features": q_media_features,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
+    "docs_vocab": q_docs_vocab,
+    "docs_split": q_docs_split,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
