@@ -95,3 +95,60 @@ def test_pick_omit_partition(m, keys):
     assert not (set(p) & set(o))
     merged = {**p, **o}
     assert merged == m
+
+
+# ---------------------------------------------------------------------------
+# Round-2 vectorized kernels vs naive reference implementations
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab cé!", max_size=40), min_size=1, max_size=12))
+def test_simhash_vectorized_equals_naive(texts):
+    """unpackbits/reduceat SimHash must match the per-row bit-vote definition."""
+    import pandas as pd
+
+    from sts_opentelemetry_collector_ray.functions.hashing import fnv1a64_array
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import simhash_batch
+
+    got = simhash_batch(pd.DataFrame({"text": texts}))["simhash"].to_numpy(dtype=np.uint64)
+    for i, txt in enumerate(texts):
+        toks = str(txt).lower().split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        hv = fnv1a64_array(toks)
+        sh = np.uint64(0)
+        for bit in range(64):
+            ones = int(((hv >> np.uint64(bit)) & np.uint64(1)).sum())
+            if ones * 2 - len(hv) > 0:
+                sh |= np.uint64(1) << np.uint64(bit)
+        assert got[i] == sh
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abcd e", max_size=30), min_size=1, max_size=10))
+def test_minhash_signatures_vectorized_equals_per_doc(texts):
+    """reduceat whole-batch minhash must equal the per-doc matrix path."""
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import (
+        _minhash, _minhash_signatures, _perm_params, _shingles,
+    )
+
+    a, b = _perm_params(16)
+    got = _minhash_signatures(np.array(texts, dtype=object), a, b, shingle_k=5,
+                              max_chunk_shingles=7)  # force multi-chunk path
+    for i, t in enumerate(texts):
+        exp = _minhash(_shingles(t, 5), a, b)
+        np.testing.assert_array_equal(got[i], exp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=" ax\t", max_size=20), min_size=1, max_size=10))
+def test_token_count_vectorized_equals_python(texts):
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.text_analysis import token_count_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = token_count_batch(t)["n_tokens"].to_pylist()
+    exp = [len([w for w in s.split() if w]) for s in texts]
+    assert got == exp
