@@ -84,6 +84,20 @@ def q_neardup_components(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio path (no stub): deterministic PCM clips keyed by doc_id →
+    actor-pool decode (np.frombuffer) + DSP features (RMS / zero-crossing rate /
+    spectral centroid / FFT band energies, one batched rfft per batch). Rows-only
+    (FFT isn't SQL-expressible); DSP invariants are unit-tested."""
+    from ..stages.multimodal import audio_feature_stage, synthesize_audio_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synthesize_audio_batch, batch_format="pyarrow")
+    return audio_feature_stage(media, concurrency=2).select_columns(
+        ["media_id", "rms", "zcr", "spectral_centroid_hz", "band_energy"]
+    )
+
+
 def q_docs_vocab(sf_dir: str):
     """Vocabulary building: global token counts → top-20 by (count desc, token).
     Per-batch Arrow combiner (local token counts) → hash-aggregate groupby(token)
@@ -263,6 +277,7 @@ QUERIES3 = {
     "events_sliding": q_events_sliding,
     "docs_vocab": q_docs_vocab,
     "docs_split": q_docs_split,
+    "audio_features": q_audio_features,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,

@@ -95,6 +95,100 @@ class MediaDecodeActor:
         return out
 
 
+# ---------------------------------------------------------------------------
+# Audio: a REAL decode + feature path (raw PCM needs no external library)
+# ---------------------------------------------------------------------------
+
+AUDIO_SAMPLE_RATE = 16_000
+AUDIO_CLIP_SAMPLES = 4_000  # 0.25 s mono clips
+
+
+def synthesize_audio_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic 16-bit PCM mono clips keyed by id (two-partial sine mix):
+    the stand-in for reading real audio blobs, byte-identical across runs.
+    Vectorized: the whole batch's waveform matrix is built in one numpy op."""
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = len(ids)
+    f0 = (100.0 + (ids % 40) * 20.0)[:, None]  # 100..880 Hz fundamental
+    ts = (np.arange(AUDIO_CLIP_SAMPLES, dtype=np.float64) / AUDIO_SAMPLE_RATE)[None, :]
+    x = 0.6 * np.sin(2 * np.pi * f0 * ts) + 0.3 * np.sin(2 * np.pi * 2.5 * f0 * ts)
+    pcm = (x * 0.5 * 32767.0).astype(np.int16)
+    payloads = [row.tobytes() for row in pcm]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(np.full(n, AUDIO_SAMPLE_RATE, dtype=np.int32)),
+            "n_samples": pa.array(np.full(n, AUDIO_CLIP_SAMPLES, dtype=np.int64)),
+        }
+    )
+
+
+class AudioFeatureActor:
+    """REAL audio decode + DSP features — no stub: raw int16 PCM decodes with
+    ``np.frombuffer`` and the features are genuine signal processing (RMS,
+    zero-crossing rate, spectral centroid, 4-band FFT energy ratios), batched
+    through ONE rfft call per batch. The actor shape matches MediaDecodeActor:
+    window/init state once per actor, per-batch vectorized work."""
+
+    def __init__(self, sample_rate: int = AUDIO_SAMPLE_RATE, n_fft: int = 1024):
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.window = np.hanning(n_fft)  # once per actor
+        self.freqs = np.fft.rfftfreq(n_fft, d=1.0 / sample_rate)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        sigs = [
+            np.frombuffer(p, dtype=np.int16).astype(np.float64) / 32768.0
+            for p in payloads
+        ]
+        n = len(sigs)
+        rms = np.array([float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in sigs])
+        zcr = np.array(
+            [
+                float(np.mean(np.abs(np.diff(np.signbit(s))))) if len(s) > 1 else 0.0
+                for s in sigs
+            ]
+        )
+        # batched FFT over the (padded/truncated) first n_fft samples
+        frames = np.zeros((n, self.n_fft))
+        for i, s in enumerate(sigs):
+            m = min(len(s), self.n_fft)
+            frames[i, :m] = s[:m]
+        spec = np.abs(np.fft.rfft(frames * self.window[None, :], axis=1))
+        power = spec.sum(axis=1)
+        power[power == 0] = 1.0
+        centroid = (spec * self.freqs[None, :]).sum(axis=1) / power
+        nb = spec.shape[1] // 4
+        bands = np.stack(
+            [spec[:, i * nb : (i + 1) * nb].sum(axis=1) / power for i in range(4)],
+            axis=1,
+        )
+        out = t.drop_columns(["payload"])
+        out = out.append_column("rms", pa.array(np.round(rms, 9)))
+        out = out.append_column("zcr", pa.array(np.round(zcr, 9)))
+        out = out.append_column("spectral_centroid_hz", pa.array(np.round(centroid, 6)))
+        out = out.append_column(
+            "band_energy", pa.array(np.round(bands, 9).tolist(), pa.list_(pa.float64()))
+        )
+        return out
+
+
+def audio_feature_stage(
+    ds: "ray.data.Dataset",
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioFeatureActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def decode_stage(
     ds: "ray.data.Dataset",
     concurrency: int = 4,

@@ -75,6 +75,38 @@ def test_ngram_jaccard_is_exact_oracle(docs):
     assert got_pairs == exp
 
 
+def test_audio_features_real_dsp():
+    """The audio path is REAL DSP: a pure-tone clip's spectral centroid must land
+    near its fundamental mixture, RMS matches the analytic value, determinism."""
+    from sts_opentelemetry_collector_ray.stages.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        AudioFeatureActor,
+        synthesize_audio_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 39], pa.int64())})
+    media = synthesize_audio_batch(t)
+    feats = AudioFeatureActor()(media)
+    d = feats.to_pydict()
+    # analytic RMS of 0.5*(0.6 sin + 0.3 sin incommensurate) ≈ 0.5*sqrt(0.18+0.045)
+    import math
+
+    expected_rms = 0.5 * math.sqrt(0.6**2 / 2 + 0.3**2 / 2)
+    for r in d["rms"]:
+        assert abs(r - expected_rms) < 0.02
+    # centroid: energy at f0 and 2.5*f0 with 2:1 amplitude → centroid in (f0, 2.5 f0)
+    for mid, c in zip(d["media_id"], d["spectral_centroid_hz"]):
+        f0 = 100 + (mid % 40) * 20
+        assert f0 * 0.8 < c < f0 * 2.6, (mid, f0, c)
+        assert 0 < c < AUDIO_SAMPLE_RATE / 2
+    # band energies normalized (≤1, sum≈1 over full spectrum coverage)
+    for b in d["band_energy"]:
+        assert all(0 <= x <= 1 for x in b)
+    # deterministic across calls
+    feats2 = AudioFeatureActor()(synthesize_media := synthesize_audio_batch(t))
+    assert feats.equals(feats2)
+
+
 def test_neardup_dedup_keeps_one_per_cluster(docs):
     from sts_opentelemetry_collector_ray.stages.dedup_docs import neardup_dedup_docs
 
