@@ -98,6 +98,19 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_image_thumbs(sf_dir: str):
+    """REAL image path (no stub): raw RGB24 bitmaps keyed by doc_id →
+    actor-pool decode (frombuffer/reshape) + block-mean resize to 16×12 thumbs
+    + per-channel stats. Rows-only; pooling math is unit-tested."""
+    from ..stages.multimodal import image_resize_stage, synthesize_image_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synthesize_image_batch, batch_format="pyarrow")
+    return image_resize_stage(media, concurrency=2).select_columns(
+        ["media_id", "thumb_w", "thumb_h", "channel_mean", "channel_std"]
+    )
+
+
 def q_docs_vocab(sf_dir: str):
     """Vocabulary building: global token counts → top-20 by (count desc, token).
     Per-batch Arrow combiner (local token counts) → hash-aggregate groupby(token)
@@ -278,6 +291,7 @@ QUERIES3 = {
     "docs_vocab": q_docs_vocab,
     "docs_split": q_docs_split,
     "audio_features": q_audio_features,
+    "image_thumbs": q_image_thumbs,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,

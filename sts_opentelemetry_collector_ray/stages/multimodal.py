@@ -96,6 +96,92 @@ class MediaDecodeActor:
 
 
 # ---------------------------------------------------------------------------
+# Images: a REAL decode + resize path (raw RGB bitmaps need no external library)
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 64, 48  # synthesized source bitmaps
+
+
+def synthesize_image_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic raw RGB24 bitmaps keyed by id (smooth gradients + a keyed
+    square), byte-identical across runs — the stand-in for reading real blobs."""
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+    payloads = []
+    for i in ids:
+        r = ((xx * 255) // max(IMG_W - 1, 1)).astype(np.uint8)
+        g = ((yy * 255) // max(IMG_H - 1, 1)).astype(np.uint8)
+        b = np.full((IMG_H, IMG_W), (i * 37) % 256, dtype=np.uint8)
+        x0, y0 = int(i % (IMG_W - 16)), int((i * 7) % (IMG_H - 12))
+        r[y0 : y0 + 12, x0 : x0 + 16] = 255 - r[y0 : y0 + 12, x0 : x0 + 16]
+        payloads.append(np.stack([r, g, b], axis=-1).tobytes())
+    n = len(ids)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, IMG_W, dtype=np.int32)),
+            "height": pa.array(np.full(n, IMG_H, dtype=np.int32)),
+        }
+    )
+
+
+class ImageResizeActor:
+    """REAL image decode + resize — no stub: raw RGB24 decodes with
+    ``np.frombuffer().reshape(h, w, 3)`` and resizing is integer-factor
+    block-mean pooling (the standard antialiased downsample), plus per-channel
+    mean/std features. Output drops the source payload and carries the resized
+    bitmap (the training-data layout: thumbnail + stats)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 12):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        thumbs, means, stds = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            img = np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w), 3)
+            fy, fx = int(h) // self.out_h, int(w) // self.out_w
+            crop = img[: fy * self.out_h, : fx * self.out_w]
+            pooled = (
+                crop.reshape(self.out_h, fy, self.out_w, fx, 3)
+                .mean(axis=(1, 3))
+                .round()
+                .astype(np.uint8)
+            )
+            thumbs.append(pooled.tobytes())
+            means.append(np.round(img.reshape(-1, 3).mean(axis=0), 6).tolist())
+            stds.append(np.round(img.reshape(-1, 3).std(axis=0), 6).tolist())
+        out = t.drop_columns(["payload"])
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        out = out.append_column("thumb_w", pa.array(np.full(len(thumbs), self.out_w, dtype=np.int32)))
+        out = out.append_column("thumb_h", pa.array(np.full(len(thumbs), self.out_h, dtype=np.int32)))
+        out = out.append_column("channel_mean", pa.array(means, pa.list_(pa.float64())))
+        out = out.append_column("channel_std", pa.array(stds, pa.list_(pa.float64())))
+        return out
+
+
+def image_resize_stage(
+    ds: "ray.data.Dataset",
+    concurrency: int = 4,
+    batch_size: int = 256,
+    out_w: int = 16,
+    out_h: int = 12,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio: a REAL decode + feature path (raw PCM needs no external library)
 # ---------------------------------------------------------------------------
 

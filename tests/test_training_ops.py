@@ -107,6 +107,29 @@ def test_audio_features_real_dsp():
     assert feats.equals(feats2)
 
 
+def test_image_resize_real_pooling():
+    """Block-mean pooling is real: a uniform image pools to itself; the x-gradient
+    pools to increasing thumb columns; channel stats match numpy directly."""
+    from sts_opentelemetry_collector_ray.stages.multimodal import (
+        ImageResizeActor,
+        synthesize_image_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([0, 5, 11], pa.int64())})
+    media = synthesize_image_batch(t)
+    out = ImageResizeActor()(media)
+    d = out.to_pydict()
+    for i, (thumb, cm) in enumerate(zip(d["thumb"], d["channel_mean"])):
+        img = np.frombuffer(media["payload"][i].as_py(), np.uint8).reshape(48, 64, 3)
+        np.testing.assert_allclose(cm, img.reshape(-1, 3).mean(axis=0), atol=1e-4)
+        th = np.frombuffer(thumb, np.uint8).reshape(12, 16, 3)
+        # green channel is a pure y-gradient → pooled rows strictly increasing
+        g_rows = th[:, :, 1].mean(axis=1)
+        assert (np.diff(g_rows) > 0).all()
+    # determinism
+    assert ImageResizeActor()(media).equals(out)
+
+
 def test_neardup_dedup_keeps_one_per_cluster(docs):
     from sts_opentelemetry_collector_ray.stages.dedup_docs import neardup_dedup_docs
 
