@@ -111,6 +111,19 @@ def q_image_thumbs(sf_dir: str):
     )
 
 
+def q_emb_pca(sf_dir: str):
+    """PCA projection of the embeddings table to 8 dims: driver fit on a bounded
+    sample, broadcast components, per-batch matmul projection (shuffle-free).
+    Rows-only (eigendecomposition isn't SQL-expressible; variance ordering and
+    reconstruction invariants are unit-tested)."""
+    from ..stages.embeddings import pca_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(ds, k=8)
+
+
 def q_docs_vocab(sf_dir: str):
     """Vocabulary building: global token counts → top-20 by (count desc, token).
     Per-batch Arrow combiner (local token counts) → hash-aggregate groupby(token)
@@ -292,6 +305,7 @@ QUERIES3 = {
     "docs_split": q_docs_split,
     "audio_features": q_audio_features,
     "image_thumbs": q_image_thumbs,
+    "emb_pca": q_emb_pca,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,

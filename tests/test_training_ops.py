@@ -130,6 +130,25 @@ def test_image_resize_real_pooling():
     assert ImageResizeActor()(media).equals(out)
 
 
+def test_pca_variance_ordering_and_reconstruction():
+    from sts_opentelemetry_collector_ray.stages.embeddings import fit_pca
+
+    rng = np.random.default_rng(3)
+    # anisotropic data: variance concentrated along the first axes
+    scales = np.array([5.0, 3.0, 1.0, 0.5, 0.1, 0.1, 0.1, 0.1])
+    x = rng.standard_normal((500, 8)) * scales
+    mean, comps = fit_pca(x, k=4)
+    z = (x - mean) @ comps
+    v = z.var(axis=0)
+    assert (np.diff(v) <= 1e-9).all()  # components ordered by explained variance
+    assert v[0] > 15 and v[3] < 2  # captures the anisotropy
+    # orthonormal components
+    np.testing.assert_allclose(comps.T @ comps, np.eye(4), atol=1e-9)
+    # deterministic
+    m2, c2 = fit_pca(x, k=4)
+    np.testing.assert_array_equal(comps, c2)
+
+
 def test_neardup_dedup_keeps_one_per_cluster(docs):
     from sts_opentelemetry_collector_ray.stages.dedup_docs import neardup_dedup_docs
 
