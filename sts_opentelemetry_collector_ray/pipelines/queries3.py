@@ -3,6 +3,7 @@ normalization (M14), BPE-ish regex token counting, multimodal feature plumbing."
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -122,6 +123,65 @@ def q_emb_pca(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return pca_project(ds, k=8)
+
+
+def q_docs_join_emb(sf_dir: str):
+    """Generic large×large hash join through Ray's native `Dataset.join`
+    (hash-partitioned): documents ⋈ embeddings on doc_id = vec_id, projecting
+    (doc_id, n_chars, dim). Both sides pruned at the read."""
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["vec_id"],
+             "dim": pc.cast(pc.list_value_length(t["embedding"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        embs, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("vec_id",)
+    )
+    return joined.select_columns(["doc_id", "n_chars", "dim"])
+
+
+def q_orders_top_per_cust(sf_dir: str):
+    """Grouped top-k window (top-2 orders per customer by price): hash-BUCKET
+    exchange + ONE vectorized sort + per-group head per bucket — the windowed
+    rank operator without per-customer Python groups."""
+    num_buckets = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["o_custkey"].to_numpy().astype(np.uint64) % num_buckets).astype(np.int32)
+        return df.assign(_b=b)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_b"]).sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("o_custkey").cumcount() + 1
+        out = g[g["rank"] <= 2].copy()
+        out["rank"] = out["rank"].astype(np.int64)
+        return out
+
+    b = ds.map_batches(bucketize, batch_format="pandas")
+    return b.groupby("_b").map_groups(topk, batch_format="pandas")
 
 
 def q_docs_vocab(sf_dir: str):
@@ -245,6 +305,16 @@ _FNV32_DOC = (
 )
 
 ORACLES3: dict[str, str] = {
+    "docs_join_emb": """
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(len(e.embedding) AS BIGINT) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+    "orders_top_per_cust": """
+SELECT o_orderkey, o_custkey, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 2""",
     "docs_vocab": """
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -306,6 +376,8 @@ QUERIES3 = {
     "audio_features": q_audio_features,
     "image_thumbs": q_image_thumbs,
     "emb_pca": q_emb_pca,
+    "docs_join_emb": q_docs_join_emb,
+    "orders_top_per_cust": q_orders_top_per_cust,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
