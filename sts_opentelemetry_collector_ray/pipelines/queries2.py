@@ -321,6 +321,42 @@ FROM routes GROUP BY role""",
     "resources_dedup": _PARSED_SQL + "SELECT DISTINCT role, tool FROM transcripts",
 }
 
+
+def _langid_oracle() -> str:
+    """SQL replica of LangIdActor: distinct char trigrams of ' '+lower(text)+' ',
+    per-language overlap ratio vs the seed profiles, first-language-wins ties
+    (the engine only replaces on strictly-greater score)."""
+    from ..stages.text_analysis import _profiles
+
+    profs = _profiles()
+    order = list(profs)  # dict order == engine iteration order
+    lists = {
+        lang: "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in sorted(p)) + "]"
+        for lang, p in profs.items()
+    }
+    score_cols = ",\n  ".join(
+        f"CASE WHEN len(grams) = 0 THEN 0.0 ELSE len(list_filter(grams, "
+        f"t -> list_contains({lists[lang]}, t))) * 1.0 / len(grams) END AS s_{lang}"
+        for lang in order
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    pick = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in order)
+    return f"""
+WITH s1 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(range(greatest(length(s) - 2, 0)),
+             i -> substring(s, CAST(i AS INT) + 1, 3))) AS grams FROM s1),
+sc AS (SELECT doc_id, grams,
+  {score_cols}
+FROM g),
+fin AS (SELECT doc_id, grams, {best} AS best, * FROM sc)
+SELECT doc_id,
+       CASE WHEN len(grams) = 0 OR best <= 0 THEN 'und' {pick} ELSE 'und' END AS lang_pred,
+       round(best, 6) AS lang_score
+FROM fin"""
+
+
+ORACLES2["docs_langid"] = _langid_oracle()
+
 QUERIES2 = {
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,

@@ -136,7 +136,9 @@ class LangIdActor:
                 if score > best:
                     best_lang, best = lang, score
             langs[i] = best_lang
-            scores[i] = round(best, 6)
+            # half-AWAY-from-zero at 6 decimals (DuckDB ROUND semantics; Python
+            # round() is half-even and flips exact ties like 9/128 = 0.0703125)
+            scores[i] = np.floor(best * 1e6 + 0.5) / 1e6
         out = t.append_column("lang_pred", pa.array(langs, pa.string()))
         return out.append_column("lang_score", pa.array(scores, pa.float64()))
 
