@@ -357,6 +357,26 @@ FROM fin"""
 
 ORACLES2["docs_langid"] = _langid_oracle()
 
+# Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
+# driver testdata): the engine hashes shingles (FNV-64) but set sizes are
+# collision-free at this scale, so string-shingle Jaccard is the same value.
+ORACLES2["docs_ngram_jaccard"] = """
+WITH d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents ORDER BY doc_id LIMIT 200),
+d AS (SELECT doc_id,
+        CASE WHEN length(s) = 0 THEN []::VARCHAR[]
+             WHEN length(s) < 5 THEN [s]
+             ELSE list_distinct(list_transform(range(length(s) - 4),
+                                i -> substring(s, CAST(i AS INT) + 1, 5)))
+        END AS sh
+      FROM d0),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        len(list_intersect(a.sh, b.sh)) AS inter,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5"""
+
 QUERIES2 = {
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,

@@ -20,6 +20,12 @@ import ray.data
 
 from ..functions.hashing import fnv1a64, fnv1a64_array
 
+
+def _round6(x: float) -> float:
+    """Half-AWAY-from-zero at 6 decimals (DuckDB ROUND; Python round is half-even
+    and flips exact ties like 9/128)."""
+    return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -223,7 +229,7 @@ def minhash_lsh_pairs(
         for i in range(len(ids) - 1):
             est = (sig[i + 1 :] == sig[i]).mean(axis=1)
             for off in np.nonzero(est >= jaccard_threshold)[0]:
-                out.append((int(ids[i]), int(ids[i + 1 + off]), round(float(est[off]), 6)))
+                out.append((int(ids[i]), int(ids[i + 1 + off]), _round6(float(est[off]))))
         return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
     sig = ds.map_batches(sigs, batch_format="pandas")
@@ -426,7 +432,7 @@ def ngram_jaccard_pairs(
                 union = len(sh[i] | sh[j])
                 jac = len(sh[i] & sh[j]) / union if union else 0.0
                 if jac >= threshold:
-                    out.append((int(ids[i]), int(ids[j]), round(jac, 6)))
+                    out.append((int(ids[i]), int(ids[j]), _round6(jac)))
         return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
     ex = ds.map_batches(explode, batch_format="pandas")
