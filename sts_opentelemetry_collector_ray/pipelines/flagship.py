@@ -112,6 +112,7 @@ def flagship_run(
     partition_parallelism: int = 2,
     output_partition_cols: list[str] | None = None,
     salt_span: int | None = None,
+    ruleset_policy: str = "invalidate",
 ) -> FlagshipResult:
     """Run the flagship over ``input_dir``, checkpointing per input partition.
 
@@ -119,7 +120,21 @@ def flagship_run(
     independent streaming Dataset execution sharing the Ray session): while one
     partition sits in its shuffle barrier, the next partition's read/route stages
     fill the idle cores. Checkpoint semantics are unchanged — each partition still
-    completes and writes its manifest atomically and independently."""
+    completes and writes its manifest atomically and independently.
+
+    ``ruleset_policy`` selects the snapshot-swap semantics on resume
+    (reference: snapshot_manager.go:154-213 — a new settings snapshot applies to
+    SUBSEQUENT data; already-published data is retired via removal tombstones,
+    not reprocessed):
+
+    - ``"invalidate"`` (default, strict batch semantics): a changed ruleset
+      invalidates every completed partition — the whole run reflects ONE
+      snapshot version.
+    - ``"keep"`` (the reference's hot-swap semantics): completed partitions
+      written under the previous snapshot are kept (their manifests record
+      which fingerprint produced them); only remaining partitions run under the
+      new snapshot, and removal tombstones for dropped mappings are emitted as
+      usual (``_tombstones/``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
@@ -139,7 +154,10 @@ def flagship_run(
             break
         ifp, entries = fingerprint_files(part_files)
         m = load_manifest(out_dir, pid)
-        if m and m.get("input_fingerprint") == ifp and m.get("ruleset_fingerprint") == rfp:
+        rules_ok = m is not None and (
+            m.get("ruleset_fingerprint") == rfp or ruleset_policy == "keep"
+        )
+        if m and m.get("input_fingerprint") == ifp and rules_ok:
             result.partitions_skipped += 1
             _tally(result, m)
             continue

@@ -195,6 +195,56 @@ def test_manifests_and_resume(multi_file_transcripts, tmp_path):
     pd.testing.assert_frame_equal(a[key], b[key])
 
 
+def test_ruleset_hot_swap_keep_policy(multi_file_transcripts, tmp_path):
+    """snapshot_manager.go:154-213 semantics: a new snapshot applies to
+    SUBSEQUENT data only — with ruleset_policy="keep", partitions completed
+    under the old snapshot are kept (their manifests retain the old
+    fingerprint), later partitions run under the new one, and removal
+    tombstones retire dropped mappings."""
+    from sts_opentelemetry_collector_ray.rules.model import ComponentRule
+    from sts_opentelemetry_collector_ray.state.manifest import ruleset_fingerprint
+
+    out = str(tmp_path / "swap")
+    rules_a = [
+        ComponentRule(
+            identifier="m-old", sink="s",
+            identifier_expr="'u:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    r1 = flagship_run(multi_file_transcripts, out, rules=rules_a,
+                      num_partitions=2, max_partitions=1, enrich_concurrency=2)
+    assert r1.partitions_skipped == 0
+    rules_b = [
+        ComponentRule(
+            identifier="m-new", sink="s",
+            identifier_expr="'v:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+        ).compile()
+    ]
+    # default policy: changed ruleset invalidates the completed partition
+    r_strict = flagship_run(multi_file_transcripts, out, rules=rules_b,
+                            num_partitions=2, max_partitions=1, enrich_concurrency=2)
+    assert r_strict.partitions_skipped == 0
+    # rerun under A then hot-swap to B with keep: partition 0 (A) is kept
+    flagship_run(multi_file_transcripts, out, rules=rules_a,
+                 num_partitions=2, max_partitions=1, enrich_concurrency=2)
+    r2 = flagship_run(multi_file_transcripts, out, rules=rules_b,
+                      num_partitions=2, enrich_concurrency=2,
+                      ruleset_policy="keep")
+    assert r2.partitions_skipped == 1
+    fps = sorted(
+        json.load(open(p))["ruleset_fingerprint"]
+        for p in glob.glob(os.path.join(out, "_manifests", "*.json"))
+    )
+    assert fps == sorted([ruleset_fingerprint(rules_a), ruleset_fingerprint(rules_b)])
+    # dropped mapping m-old got removal tombstones
+    tombs = glob.glob(os.path.join(out, "_tombstones", "*.parquet"))
+    assert tombs
+    tdf = pd.concat([pd.read_parquet(t) for t in tombs])
+    assert "m-old" in set(tdf["data_source"])
+
+
 def test_torn_manifest_reprocessed(multi_file_transcripts, tmp_path):
     """A corrupted (torn-write) manifest must cause reprocessing, not a crash."""
     out = str(tmp_path / "torn")
