@@ -253,53 +253,35 @@ def _run_partition(
     if sort_output and not dedup:
         routed = routed.sort(SORT_KEY)
     t_route = time.time()
-    # Materialize once per partition (a partition is sized to fit the object
-    # store — that is the point of partitioning), then write AND aggregate from
-    # the same blocks: no second execution, no parquet read-back.
-    routed = routed.materialize()
-    routed.write_parquet(
+    # ONE streaming consumption: the RoutedParquetDatasink writes the hive
+    # per-sink layout AND computes the (sink, role, tool) combiner counts +
+    # lineage key range in the same pass — no partition-sized materialize, no
+    # second execution (object-store pressure bounded by in-flight blocks).
+    from ..sinks import RoutedParquetDatasink
+
+    sink = RoutedParquetDatasink(
         os.path.join(part_dir, "routed"),
         # default ["sink"]; pass ["sink", "shard_id"] for the reference's exact
         # keyed layout out/<sink>/shard_id=<k>/ (stskafkaexporter keying, K1)
-        partition_cols=output_partition_cols or ["sink"],
-        mode="overwrite",
+        partition_cols=tuple(output_partition_cols or ["sink"]),
     )
+    routed.write_datasink(sink)
     t_write = time.time()
 
-    written = routed.select_columns(["sink", "role", "tool", "error"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        errs = pc.cast(pc.is_valid(t["error"]), pa.int64())
-        g = (
-            t.select(["sink", "role", "tool"])
-            .append_column("err", errs)
-            .group_by(["sink", "role", "tool"])
-            .aggregate([([], "count_all"), ("err", "sum")])
-        )
-        return g.rename_columns(["sink", "role", "tool", "n", "err"])
-
-    from ray.data.aggregate import Sum
-
-    agg = (
-        written.map_batches(partial, batch_format="pyarrow")
-        .groupby(["sink", "role", "tool"])
-        .aggregate(Sum("n", alias_name="n"), Sum("err", alias_name="err"))
-    )
-    agg.write_parquet(os.path.join(part_dir, "agg_counts"), mode="overwrite")
-    agg_tbl = pa.concat_tables(
-        [pq.read_table(f) for f in glob.glob(os.path.join(part_dir, "agg_counts", "*.parquet"))]
-    )
+    agg_tbl = sink.agg_counts
+    agg_dir = os.path.join(part_dir, "agg_counts")
+    if os.path.isdir(agg_dir):
+        for f in glob.glob(os.path.join(agg_dir, "*.parquet")):
+            os.remove(f)
+    os.makedirs(agg_dir, exist_ok=True)
+    pq.write_table(agg_tbl, os.path.join(agg_dir, "agg_counts-00000.parquet"))
     sink_rows: dict[str, int] = {}
     err_rows = 0
     for row in agg_tbl.to_pylist():
         sink_rows[row["sink"]] = sink_rows.get(row["sink"], 0) + row["n"]
         err_rows += row["err"]
-    # Lineage key range (SURVEY §4 manifest contract): min/max conv over the
-    # partition — two tiny aggregates on the already-materialized blocks.
-    first_key = routed.min("conv_id")
-    last_key = routed.max("conv_id")
+    first_key = sink.first_key
+    last_key = sink.last_key
     t_agg = time.time()
     return {
         "pid": pid,
