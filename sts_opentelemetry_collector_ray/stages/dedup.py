@@ -33,35 +33,6 @@ _SORT = ["sink", "conv_id", "turn_idx", "data_source"]
 # Arrow string/int columns — an order of magnitude faster than pandas
 # object-dtype sort_values on the same data.
 
-# Low-cardinality string columns dictionary-encoded ACROSS the finalize
-# exchange (encoded after the local combiner, decoded per bucket before the
-# final sort): ~35% of the routed payload collapses to ~1 byte/row indices,
-# shrinking the only full-payload shuffle accordingly.
-_DICT_COLS = [
-    "sink", "data_source", "action", "type_name", "role", "tool",
-    "severity", "dependency_type", "shard_id",
-]
-
-
-def _dict_encode(t: "pa.Table") -> "pa.Table":
-    for c in _DICT_COLS:
-        i = t.schema.get_field_index(c)
-        if i >= 0 and not pa.types.is_dictionary(t.column(i).type):
-            t = t.set_column(
-                i, c, pc.dictionary_encode(t.column(i).combine_chunks())
-            )
-    return t
-
-
-def _dict_decode(t: "pa.Table") -> "pa.Table":
-    for c in _DICT_COLS:
-        i = t.schema.get_field_index(c)
-        if i >= 0 and pa.types.is_dictionary(t.column(i).type):
-            t = t.set_column(
-                i, c, pc.cast(t.column(i).combine_chunks(), pa.string())
-            )
-    return t
-
 
 def _sorted_first_wins(t: "pa.Table") -> "pa.Table":
     """Arrow-native: stable sort by (sink, conv, turn, data_source) then keep the
@@ -140,15 +111,14 @@ def _finalize_local(
                 bucket[is_nl] = (
                     dk[is_nl] % np.uint64(num_buckets)
                 ).astype(np.int32) + np.int32(num_buckets)
-        t = t.append_column("_bucket", pa.array(np.asarray(bucket, dtype=np.int32), pa.int32()))
-        return _dict_encode(t)
+        return t.append_column("_bucket", pa.array(np.asarray(bucket, dtype=np.int32), pa.int32()))
 
     return fn
 
 
 def _finalize_bucket(t: "pa.Table") -> "pa.Table":
     """Per-bucket: deterministic order + exact first-wins on co-located keys."""
-    t = _sorted_first_wins(_dict_decode(t))
+    t = _sorted_first_wins(t)
     return t.drop_columns(["_bucket"])
 
 
