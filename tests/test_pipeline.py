@@ -245,6 +245,27 @@ def test_ruleset_hot_swap_keep_policy(multi_file_transcripts, tmp_path):
     assert "m-old" in set(tdf["data_source"])
 
 
+def test_crashed_write_resumes_clean(multi_file_transcripts, tmp_path):
+    """A partition that died mid-write (files on disk, NO manifest) must be
+    fully rewritten on resume — on_write_start clears the partial directory, so
+    no stale files leak into the routed output."""
+    out = str(tmp_path / "crash")
+    flagship_run(multi_file_transcripts, out, num_partitions=2, max_partitions=1,
+                 enrich_concurrency=2)
+    # simulate a crash in partition 1: partial garbage, no manifest
+    part1 = os.path.join(out, "part-00001", "routed", "sink=logs_all")
+    os.makedirs(part1, exist_ok=True)
+    with open(os.path.join(part1, "part-99999-0000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    r = flagship_run(multi_file_transcripts, out, num_partitions=2,
+                     enrich_concurrency=2)
+    assert r.partitions_skipped == 1  # partition 0 untouched
+    assert not os.path.exists(os.path.join(part1, "part-99999-0000.parquet"))
+    # the whole output is readable parquet
+    df = read_routed(out)
+    assert len(df) == r.routed_rows
+
+
 def test_torn_manifest_reprocessed(multi_file_transcripts, tmp_path):
     """A corrupted (torn-write) manifest must cause reprocessing, not a crash."""
     out = str(tmp_path / "torn")
