@@ -92,9 +92,9 @@ def q_sg_topology_relations(sf_dir: str):
 
 
 def q_envelope_pack(sf_dir: str):
-    """Byte-capped envelope packing (A5) — greedy, first-seen order; the packing
-    decision is not SQL-expressible (running-size recursion), so the driver records
-    a rows-only check and tests/test_pack.py carries the invariants."""
+    """Byte-capped envelope packing (A5) — greedy, first-seen order. Oracled via
+    a RECURSIVE CTE that replays the capacity-reset running sum row-by-row per
+    (data_source, shard_id) lineage (see ``_pack_oracle``)."""
     routed = routed_dataset(
         derive_transcripts_from_events(sf_dir), dedup=False, enrich_concurrency=2
     )
@@ -356,6 +356,133 @@ FROM fin"""
 
 
 ORACLES2["docs_langid"] = _langid_oracle()
+
+# Envelope packing (A5) as a RECURSIVE CTE: the greedy capacity-reset running
+# sum steps one row per iteration per (data_source, shard_id) lineage —
+# byte-exact vs stages/pack.py::_pack_group (64 B/row overhead + char lengths
+# of external_id/name/type_name/tags/text; non-CREATE rows are solo envelopes).
+_PACK_ROUTES = """
+routes_full AS (
+  SELECT 'urn:mapping:all-turns' AS data_source, 'CREATE' AS action,
+         'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS external_id,
+         role AS name, 'turn' AS type_name, CAST(NULL AS VARCHAR) AS tags,
+         text, conv_id, turn_idx
+  FROM parsed
+  UNION ALL
+  SELECT 'urn:mapping:error-turns', 'CREATE',
+         'urn:conv/' || conv_id || ':turn/' || CAST(turn_idx AS VARCHAR),
+         coalesce(tool_sig, 'none'), 'error-turn', NULL, text, conv_id, turn_idx
+  FROM parsed WHERE severity = 'ERROR'
+  UNION ALL
+  SELECT 'urn:mapping:tool-calls', 'CREATE',
+         'urn:tool/' || tool || '/call/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         tool, 'tool-call', NULL, NULL, conv_id, turn_idx
+  FROM parsed WHERE tool <> '' AND role = 'tool'
+  UNION ALL
+  SELECT 'urn:mapping:diag-turns', 'CREATE',
+         'urn:diag/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         NULL, 'diag-turn',
+         CASE WHEN contains(text, 'attr.')
+              THEN '{"t.et":"view","t.zone":"' || regexp_extract(text, 'attr\\.zone=(\\S+)', 1) || '"}'
+              ELSE '{}' END,
+         text, conv_id, turn_idx
+  FROM parsed WHERE severity IN ('WARN', 'DEBUG')
+  UNION ALL
+  SELECT 'urn:mapping:conv-uses-tool', 'CREATE',
+         'urn:conv/' || conv_id || '-urn:tool/' || tool,
+         NULL, 'uses', NULL, NULL, conv_id, turn_idx
+  FROM parsed WHERE tool <> ''
+  UNION ALL
+  SELECT 'urn:mapping:session-delete', 'DELETE',
+         'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         NULL, 'turn', NULL, text, conv_id, turn_idx
+  FROM parsed WHERE severity = 'UNKNOWN'
+  UNION ALL
+  SELECT 'urn:mapping:bad-required', 'CREATE',
+         NULL, NULL, NULL, NULL, text, conv_id, turn_idx
+  FROM parsed WHERE severity = 'ERROR'
+),
+sized AS (
+  SELECT data_source,
+         CASE WHEN external_id IS NULL THEN 'unknown'
+              ELSE __SHARD__ END AS shard_id,
+         action, conv_id, turn_idx,
+         64 + length(coalesce(external_id, '')) + length(coalesce(name, ''))
+            + length(coalesce(type_name, '')) + length(coalesce(tags, ''))
+            + length(coalesce(text, '')) AS size
+  FROM routes_full
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY data_source, shard_id
+                               ORDER BY conv_id, turn_idx) AS rn
+  FROM sized
+),
+gstat AS (
+  SELECT data_source, shard_id, SUM(size) AS tot, COUNT(*) AS n,
+         SUM(CASE WHEN action <> 'CREATE' THEN 1 ELSE 0 END) AS solos
+  FROM sized GROUP BY 1, 2
+),
+-- fast paths: all-CREATE groups under the cap pack to ONE envelope; all-solo
+-- groups are one envelope per row; only the remaining groups need recursion
+rseq AS (
+  SELECT s.* FROM seq s JOIN gstat g USING (data_source, shard_id)
+  WHERE NOT (g.solos = 0 AND g.tot <= __CAP__) AND g.solos <> g.n
+),
+packed AS (
+  SELECT data_source, shard_id, rn, conv_id, turn_idx, size,
+         CAST(0 AS BIGINT) AS env,
+         CAST(CASE WHEN action <> 'CREATE' THEN 0 ELSE size END AS BIGINT) AS acc,
+         (action = 'CREATE') AS open
+  FROM rseq WHERE rn = 1
+  UNION ALL
+  SELECT r.data_source, r.shard_id, r.rn, r.conv_id, r.turn_idx, r.size,
+         CASE WHEN r.action <> 'CREATE' THEN p.env + 1
+              WHEN NOT p.open OR (p.acc + r.size > __CAP__ AND p.acc > 0) THEN p.env + 1
+              ELSE p.env END,
+         CAST(CASE WHEN r.action <> 'CREATE' THEN 0
+              WHEN NOT p.open OR (p.acc + r.size > __CAP__ AND p.acc > 0) THEN r.size
+              ELSE p.acc + r.size END AS BIGINT),
+         (r.action = 'CREATE')
+  FROM rseq r JOIN packed p
+    ON r.data_source = p.data_source AND r.shard_id = p.shard_id
+   AND r.rn = p.rn + 1
+)
+SELECT data_source, shard_id, env AS envelope_idx,
+       COUNT(*) AS n_rows, CAST(SUM(size) AS BIGINT) AS bytes,
+       arg_min(conv_id, rn) AS first_conv, arg_min(turn_idx, rn) AS first_turn
+FROM packed GROUP BY 1, 2, 3
+UNION ALL
+SELECT s.data_source, s.shard_id, CAST(0 AS BIGINT),
+       COUNT(*), CAST(SUM(s.size) AS BIGINT),
+       arg_min(s.conv_id, s.rn), arg_min(s.turn_idx, s.rn)
+FROM seq s JOIN gstat g USING (data_source, shard_id)
+WHERE g.solos = 0 AND g.tot <= __CAP__
+GROUP BY 1, 2
+UNION ALL
+SELECT s.data_source, s.shard_id, CAST(s.rn - 1 AS BIGINT),
+       CAST(1 AS BIGINT), CAST(s.size AS BIGINT), s.conv_id, s.turn_idx
+FROM seq s JOIN gstat g USING (data_source, shard_id)
+WHERE g.solos = g.n"""
+
+
+def _pack_oracle() -> str:
+    from .. import ENVELOPE_MAX_BYTES
+
+    body = _PACK_ROUTES.replace("__SHARD__", _FNV_SHARD_PACK).replace(
+        "__CAP__", str(ENVELOPE_MAX_BYTES)
+    )
+    sql = _PARSED_SQL + "," + body
+    # the packed CTE is recursive — promote the whole WITH chain
+    return sql.replace("WITH ev AS", "WITH RECURSIVE ev AS", 1)
+
+
+_FNV_SHARD_PACK = (
+    "CAST(list_reduce(list_prepend(2166136261::BIGINT, "
+    "list_transform(string_split(external_id, ''), c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 4 AS VARCHAR)"
+)
+
+ORACLES2["envelope_pack"] = _pack_oracle()
 
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
 # driver testdata): the engine hashes shingles (FNV-64) but set sizes are
