@@ -484,6 +484,119 @@ _FNV_SHARD_PACK = (
 
 ORACLES2["envelope_pack"] = _pack_oracle()
 
+
+def _simhash_oracle() -> str:
+    """SQL replica of the SimHash near-dup operator: FNV-1a64 per whitespace
+    token (HUGEINT arithmetic matches the numpy kernel bit-for-bit), 64
+    majority bit-votes per doc, then ALL pairs with Hamming ≤ 3 — exactly the
+    block-LSH result, because the pigeonhole split is exhaustive at that
+    distance and verification is exact."""
+    powers = ", ".join(f"CAST({1 << b} AS HUGEINT)" for b in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+           (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hv
+  FROM toks
+),
+powers AS (SELECT unnest(range(64)) AS b, unnest([{powers}]) AS p),
+votes AS (
+  SELECT doc_id, b, p,
+         SUM(CAST((hv // p) % 2 AS BIGINT)) AS ones, COUNT(*) AS n
+  FROM h CROSS JOIN powers GROUP BY doc_id, b, p
+),
+sim0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN p ELSE CAST(0 AS HUGEINT) END) AS sim
+  FROM votes GROUP BY doc_id
+),
+simfull AS (
+  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS HUGEINT)) AS sim
+  FROM documents d LEFT JOIN sim0 s USING (doc_id)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM simfull a JOIN simfull b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+
+
+ORACLES2["docs_simhash_pairs"] = _simhash_oracle()
+
+
+def _minhash_oracle() -> str:
+    """SQL replica of minhash_lsh_pairs: FNV-64 shingle hashes, the 64
+    permutations ((h·a mod 2⁶⁴ + b) mod 2⁶⁴) mod (2⁶¹−1) — replicating the
+    numpy uint64 WRAP exactly — per-doc minima, band-tuple candidate join
+    (exact tuple equality ⟺ the engine's band hash modulo astronomically
+    unlikely collisions), signature-Jaccard estimate ≥ 0.5."""
+    from ..stages.dedup_docs import _perm_params
+
+    a_par, b_par = _perm_params(64)
+    pa_sql = ", ".join(f"CAST({int(v)} AS HUGEINT)" for v in a_par)
+    pb_sql = ", ".join(f"CAST({int(v)} AS HUGEINT)" for v in b_par)
+    w = 1 << 64
+    m = (1 << 61) - 1
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(s) = 0 THEN []::VARCHAR[]
+                     WHEN length(s) < 5 THEN [s]
+                     ELSE list_transform(range(length(s) - 4),
+                          i -> substring(s, CAST(i AS INT) + 1, 5)) END) AS g
+  FROM docs0
+),
+hh AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+           (acc, x) -> (xor(acc, x) * 1099511628211) % {w}) AS hv
+  FROM sh
+),
+perms AS (SELECT unnest(range(64)) AS perm,
+                 unnest([{pa_sql}]) AS pa, unnest([{pb_sql}]) AS pb),
+sig0 AS (
+  SELECT doc_id, perm, MIN((((hv * pa) % {w}) + pb) % {w} % {m}) AS mh
+  FROM hh CROSS JOIN perms GROUP BY doc_id, perm
+),
+sigfull AS (
+  SELECT d.doc_id, p.perm, coalesce(s.mh, CAST({m} AS HUGEINT)) AS mh
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.perm = p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS bv
+  FROM sigfull GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS j
+  FROM cand c
+  JOIN sigfull sa ON sa.doc_id = c.a
+  JOIN sigfull sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, round(j, 6) AS jaccard FROM est WHERE j >= 0.5"""
+
+
+ORACLES2["docs_minhash_pairs"] = _minhash_oracle()
+
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
 # driver testdata): the engine hashes shingles (FNV-64) but set sizes are
 # collision-free at this scale, so string-shingle Jaccard is the same value.
