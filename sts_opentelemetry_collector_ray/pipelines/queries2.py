@@ -543,6 +543,14 @@ def _minhash_oracle() -> str:
     pb_sql = ", ".join(f"CAST({int(v)} AS HUGEINT)" for v in b_par)
     w = 1 << 64
     m = (1 << 61) - 1
+    # inline 5-char FNV (no per-element lambda machinery) for the common case;
+    # the rare <5-char whole-doc shingle falls back to list_reduce
+    fnv5 = "CAST(14695981039346656037 AS HUGEINT)"
+    for i in range(1, 6):
+        fnv5 = (
+            f"(xor({fnv5}, CAST(unicode(substring(g, {i}, 1)) AS HUGEINT))"
+            f" * 1099511628211) % {w}"
+        )
     return f"""
 WITH docs0 AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
@@ -558,16 +566,18 @@ sh AS (
 ),
 hh AS (
   SELECT doc_id,
-         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-           list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
-           (acc, x) -> (xor(acc, x) * 1099511628211) % {w}) AS hv
+         CASE WHEN length(g) = 5 THEN {fnv5}
+              ELSE list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                (acc, x) -> (xor(acc, x) * 1099511628211) % {w}) END AS hv
   FROM sh
 ),
 perms AS (SELECT unnest(range(64)) AS perm,
                  unnest([{pa_sql}]) AS pa, unnest([{pb_sql}]) AS pb),
+hd AS MATERIALIZED (SELECT DISTINCT doc_id, hv FROM hh),
 sig0 AS (
   SELECT doc_id, perm, MIN((((hv * pa) % {w}) + pb) % {w} % {m}) AS mh
-  FROM hh CROSS JOIN perms GROUP BY doc_id, perm
+  FROM hd CROSS JOIN perms GROUP BY doc_id, perm
 ),
 sigfull AS (
   SELECT d.doc_id, p.perm, coalesce(s.mh, CAST({m} AS HUGEINT)) AS mh

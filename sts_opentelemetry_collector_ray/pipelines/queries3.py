@@ -297,6 +297,25 @@ def _model_case() -> str:
     return f"CASE event_type {arms} ELSE 'gauge' END"
 
 
+def _components_sql(select: str) -> str:
+    """Connected components of the MinHash near-dup pair graph as a recursive
+    transitive closure over the byte-exact minhash oracle SQL: component label
+    = MIN reachable node (what min-label propagation converges to)."""
+    from .queries2 import _minhash_oracle
+
+    return f"""
+WITH RECURSIVE mh AS MATERIALIZED ({_minhash_oracle()}),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM mh UNION SELECT DISTINCT b FROM mh),
+edges2 AS MATERIALIZED (SELECT a AS s, b AS d FROM mh UNION SELECT b, a FROM mh),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges2 e ON r.dst = e.s
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+{select}"""
+
+
 _FNV32_DOC = (
     "list_reduce(list_prepend(2166136261::BIGINT, "
     "list_transform(string_split(CAST(doc_id AS VARCHAR), ''), "
@@ -305,6 +324,11 @@ _FNV32_DOC = (
 )
 
 ORACLES3: dict[str, str] = {
+    "neardup_components": _components_sql("SELECT node, component FROM comp"),
+    "docs_neardup_dedup": _components_sql(
+        """SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
+    ),
     "docs_join_emb": """
 SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
        CAST(len(e.embedding) AS BIGINT) AS dim
