@@ -607,6 +607,59 @@ SELECT a, b, round(j, 6) AS jaccard FROM est WHERE j >= 0.5"""
 
 ORACLES2["docs_minhash_pairs"] = _minhash_oracle()
 
+
+def _ann_lsh_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
+    """SQL replica of lsh_topk: the seed-42 hyperplanes are inlined as float
+    literals (repr round-trips doubles exactly), buckets are dot-product sign
+    bits (sign on raw vectors == sign on unit vectors), probes are the bucket
+    plus all one-bit flips, candidates score by cosine, rank ≤ k with the
+    engine's (score desc, neighbor asc) tie-break. Assumes the driver-testdata
+    embedding dim (64)."""
+    planes = np.random.default_rng(42).standard_normal((dim, num_planes))
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for b in range(num_planes):
+            vec = "[" + ", ".join(repr(float(x)) for x in planes[:, b]) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({col}, {vec}) > 0 THEN {1 << b} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(num_planes)])
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+qb AS (SELECT query_id, qv, {bucket_expr('qv')} AS b FROM q),
+probes AS (
+  SELECT query_id, qv, xor(b, f.f) AS probe
+  FROM qb, (SELECT unnest([{flips}]) AS f) f
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket_expr('CAST(embedding AS DOUBLE[])')} AS b
+  FROM embeddings
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.v, p.qv) AS score
+  FROM corpus c JOIN probes p ON c.b = p.probe
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+ORACLES2["ann_lsh"] = _ann_lsh_oracle()
+
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
 # driver testdata): the engine hashes shingles (FNV-64) but set sizes are
 # collision-free at this scale, so string-shingle Jaccard is the same value.

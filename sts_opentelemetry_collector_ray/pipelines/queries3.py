@@ -323,7 +323,50 @@ _FNV32_DOC = (
     "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 100"
 )
 
+def _quantile_sketch_oracle() -> str:
+    """SQL replica of the log-bin quantile sketch: the 127 log-spaced edges are
+    inlined as exact double literals; bin index = count of edges ≤ clamped
+    value (== searchsorted side='right'); the selected bin is the first with
+    cumulative ≥ q·total (== searchsorted side='left', which always lands on a
+    non-empty bin); estimate = geometric midpoint √(lo·hi)."""
+    from ..stages.quantiles import _EDGES, _HI, _LO
+
+    from .queries2 import _EDGES_SQL
+
+    e_sql = "CAST([" + ", ".join(repr(float(x)) for x in _EDGES) + "] AS DOUBLE[])"
+    n_edges = len(_EDGES)
+    return (
+        _EDGES_SQL
+        + f""",
+vals AS (
+  SELECT tool,
+         greatest(CAST({_LO!r} AS DOUBLE), least(CAST(latency_us AS DOUBLE), CAST({_HI - 1!r} AS DOUBLE))) AS v
+  FROM edges
+),
+binned AS (SELECT tool, len(list_filter({e_sql}, e -> e <= v)) AS b FROM vals),
+counts AS (SELECT tool, b, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+tot AS (SELECT tool, SUM(c) AS total FROM counts GROUP BY 1),
+cum AS (SELECT tool, b,
+        SUM(c) OVER (PARTITION BY tool ORDER BY b) AS cum FROM counts),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+pick AS (
+  SELECT t.tool, q.q, MIN(c.b) AS bsel
+  FROM tot t CROSS JOIN qs q
+  JOIN cum c ON c.tool = t.tool AND c.cum >= q.q * t.total
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT tool, q,
+         CASE WHEN bsel > 0 THEN ({e_sql})[bsel] ELSE CAST({_LO!r} AS DOUBLE) END AS lo,
+         CASE WHEN bsel < {n_edges} THEN ({e_sql})[bsel + 1] ELSE CAST({_HI!r} AS DOUBLE) END AS hi
+  FROM pick
+)
+SELECT tool, q, sqrt(lo * hi) AS estimate FROM bounds"""
+    )
+
+
 ORACLES3: dict[str, str] = {
+    "sg_latency_quantiles": _quantile_sketch_oracle(),
     "neardup_components": _components_sql("SELECT node, component FROM comp"),
     "docs_neardup_dedup": _components_sql(
         """SELECT d.doc_id FROM documents d
