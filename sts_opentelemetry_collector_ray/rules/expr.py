@@ -419,6 +419,7 @@ class CompiledExpr:
         except SyntaxError as e:
             raise ExprError(f"syntax error in expression {self.source!r}: {e}") from e
         self._concat_plan = _try_concat_plan(tree)
+        self._bool_plan = _try_bool_plan(tree) if self.expected == "bool" else None
         for node in ast.walk(tree):
             if not isinstance(node, _ALLOWED_NODES):
                 raise ExprError(
@@ -516,6 +517,93 @@ class CompiledExpr:
         ok = ~errs
         out[ok] = np.array([bool(v) for v in values[ok]], dtype=bool)
         return out
+
+    def eval_bool_mask_table(self, batch, n: int) -> "np.ndarray | None":
+        """Arrow-native condition path: simple predicate shapes (col ==/!= lit,
+        col in [lits], and/or/not combinations) compile to pyarrow.compute
+        kernels over the batch's ORIGINAL Arrow columns — no numpy object
+        materialization. Returns None when the expression has no Arrow plan or
+        a referenced column is absent from the batch (caller falls back to the
+        generic path). Null semantics match the numpy path: null == lit → false,
+        null != lit → true, null in [..] → false."""
+        if self._bool_plan is None:
+            return None
+        try:
+            arr = _eval_bool_plan(self._bool_plan, batch)
+        except Exception:  # missing column / type mismatch → generic path
+            return None
+        return np.asarray(arr.to_numpy(zero_copy_only=False))
+
+
+def _try_bool_plan(tree: ast.Expression):
+    """Compile-time detection of simple boolean predicates — ``col == 'lit'``,
+    ``col != 'lit'``, ``col in ['a', 'b']`` and and/or/not combinations (the
+    shape of every routing condition). These evaluate via pyarrow.compute
+    kernels on the batch's original Arrow columns (`eval_bool_mask_table`),
+    skipping numpy object materialization entirely."""
+
+    def walk(node):
+        if isinstance(node, ast.BoolOp):
+            parts = [walk(v) for v in node.values]
+            if any(p is None for p in parts):
+                return None
+            return ("and" if isinstance(node.op, ast.And) else "or", parts)
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            sub = walk(node.operand)
+            return ("not", sub) if sub is not None else None
+        if (
+            isinstance(node, ast.Compare)
+            and len(node.ops) == 1
+            and isinstance(node.left, ast.Name)
+        ):
+            op, cmp_ = node.ops[0], node.comparators[0]
+            if isinstance(op, (ast.Eq, ast.NotEq)) and isinstance(cmp_, ast.Constant):
+                if isinstance(cmp_.value, (str, int, float, bool)):
+                    kind = "eq" if isinstance(op, ast.Eq) else "ne"
+                    return (kind, node.left.id, cmp_.value)
+            if isinstance(op, (ast.In, ast.NotIn)) and isinstance(
+                cmp_, (ast.List, ast.Tuple)
+            ):
+                vals = []
+                for el in cmp_.elts:
+                    if not (
+                        isinstance(el, ast.Constant)
+                        and isinstance(el.value, (str, int, float, bool))
+                    ):
+                        return None
+                    vals.append(el.value)
+                if len({type(v) for v in vals}) > 1:
+                    return None
+                kind = "in" if isinstance(op, ast.In) else "notin"
+                return (kind, node.left.id, vals)
+        return None
+
+    return walk(tree.body)
+
+
+def _eval_bool_plan(plan, batch):
+    """Evaluate a bool plan against a pyarrow Table; returns a non-null
+    BooleanArray with the numpy path's null semantics baked into each leaf."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kind = plan[0]
+    if kind in ("and", "or"):
+        parts = [_eval_bool_plan(p, batch) for p in plan[1]]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = pc.and_(acc, p) if kind == "and" else pc.or_(acc, p)
+        return acc
+    if kind == "not":
+        return pc.invert(_eval_bool_plan(plan[1], batch))
+    _, col, val = plan
+    c = batch[col]  # KeyError when absent → caller falls back
+    if kind == "eq":
+        return pc.fill_null(pc.equal(c, pa.scalar(val)), False)
+    if kind == "ne":
+        return pc.fill_null(pc.not_equal(c, pa.scalar(val)), True)
+    arr = pc.fill_null(pc.is_in(c, value_set=pa.array(val)), False)
+    return arr if kind == "in" else pc.invert(arr)
 
 
 def _try_concat_plan(tree: ast.Expression):

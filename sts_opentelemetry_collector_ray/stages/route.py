@@ -223,7 +223,7 @@ class Router:
         env, n = _batch_env(batch)
         pieces: list[pa.Table] = []
         for rule in self.rules:
-            t = self._apply_rule(rule, env, n)
+            t = self._apply_rule(rule, env, n, batch)
             if t is not None and t.num_rows:
                 pieces.append(t)
         if not pieces:
@@ -231,7 +231,18 @@ class Router:
         return pa.concat_tables(pieces)
 
     # -- one rule over one batch ------------------------------------------
-    def _apply_rule(self, rule: CompiledRule, env: dict, n: int) -> pa.Table | None:
+    def _apply_rule(
+        self, rule: CompiledRule, env: dict, n: int, batch: pa.Table | None = None
+    ) -> pa.Table | None:
+        def cond_mask(expr) -> np.ndarray:
+            # Arrow-kernel fast path on the original columns; generic numpy
+            # interpreter as fallback (identical null/error semantics)
+            if batch is not None:
+                m = expr.eval_bool_mask_table(batch, n)
+                if m is not None:
+                    return m
+            return expr.eval_bool_mask(env, n)
+
         if rule.action == "CONTINUE":
             return None  # no terminal output at this level (mapping_handler.go:52-58)
         if rule.action == "DELETE" and rule.rule.signal != "LOGS":
@@ -240,7 +251,7 @@ class Router:
         # condition prunes the subtree FIRST — leaf conditions evaluate only over
         # the surviving row subset, never over pruned rows.
         if rule.resource_condition is not None:
-            rmask = rule.resource_condition.eval_bool_mask(env, n)
+            rmask = cond_mask(rule.resource_condition)
             ridx = np.nonzero(rmask)[0]
             if ridx.size == 0:
                 return None
@@ -260,7 +271,7 @@ class Router:
             else:
                 idx = ridx
         elif rule.condition is not None:
-            idx = np.nonzero(rule.condition.eval_bool_mask(env, n))[0]
+            idx = np.nonzero(cond_mask(rule.condition))[0]
         else:
             idx = np.arange(n)
         if idx.size == 0:

@@ -152,3 +152,39 @@ def test_token_count_vectorized_equals_python(texts):
     got = token_count_batch(t)["n_tokens"].to_pylist()
     exp = [len([w for w in s.split() if w]) for s in texts]
     assert got == exp
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(["A", "B", "ERROR", ""])),
+                min_size=1, max_size=30),
+       st.lists(st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+                min_size=1, max_size=30))
+def test_arrow_bool_plan_matches_numpy_path(sev, tool):
+    """The pyarrow-kernel condition path must agree with the numpy interpreter
+    on every simple predicate shape, including null handling."""
+    import pyarrow as pa
+
+    n = min(len(sev), len(tool))
+    batch = pa.table(
+        {"severity": pa.array(sev[:n], pa.string()), "tool": pa.array(tool[:n], pa.string())}
+    )
+    env = {
+        "severity": np.array(sev[:n], dtype=object),
+        "tool": np.array(tool[:n], dtype=object),
+    }
+    exprs = [
+        "severity == 'ERROR'",
+        "tool != ''",
+        "severity in ['A', 'B']",
+        "severity not in ['A', 'B']",
+        "not (severity == 'A')",
+        "severity == 'A' and tool != 'x'",
+        "severity != 'A' or tool == 'y'",
+        "severity == 'ERROR' and tool in ['x', 'y']",
+    ]
+    for src in exprs:
+        c = compile_expr(src, "bool")
+        assert c._bool_plan is not None, src
+        fast = c.eval_bool_mask_table(batch, n)
+        slow = c.eval_bool_mask(env, n)
+        np.testing.assert_array_equal(fast, slow, err_msg=src)
