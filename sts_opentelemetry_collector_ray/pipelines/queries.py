@@ -326,6 +326,54 @@ def q_urn_expand(sf_dir: str):
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
+def q_topology_connections(sf_dir: str):
+    """K6 AddConnection parity (topology.go:203-319): database / asynchronous /
+    synchronous connection handling — database components for peer-less DB
+    connections, consumer URNs for messaging, instance URNs for sync calls.
+    Connection mapping over driver testdata: client ← role, namespaces ←
+    'ns-'+name, server ← tool, connection_type by tool (bash → database,
+    search → messaging_system, browser → '' = synchronous)."""
+    import pyarrow.compute as pc
+
+    from ..stages.topology import connection_topology_stage
+
+    ds = parse_stage(derive_transcripts_from_events(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["tool"], ""))
+        ns_client = pc.binary_join_element_wise("ns-", t["role"], "")
+        ns_server = pc.binary_join_element_wise("ns-", t["tool"], "")
+        ct = np.select(
+            [
+                pc.equal(t["tool"], "bash").to_numpy(zero_copy_only=False),
+                pc.equal(t["tool"], "search").to_numpy(zero_copy_only=False),
+            ],
+            ["database", "messaging_system"],
+            default="",
+        )
+        return pa.table(
+            {
+                "client": t["role"],
+                "ns_client": ns_client,
+                "server": t["tool"],
+                "ns_server": ns_server,
+                "ct": pa.array(ct.astype(object), pa.string()),
+            }
+        )
+
+    src = ds.map_batches(prep, batch_format="pyarrow")
+    return connection_topology_stage(
+        src,
+        {
+            "client": "client",
+            "client_service.namespace": "ns_client",
+            "server": "server",
+            "server_service.namespace": "ns_server",
+            "connection_type": "ct",
+        },
+    )
+
+
 # -- TPC-H-ish operator demos ----------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -555,6 +603,41 @@ rel AS (
   )
 )
 SELECT * FROM comp UNION ALL SELECT * FROM rel""",
+    "topology_connections": _PARSED_SQL
+    + """, res AS (SELECT DISTINCT role, tool FROM parsed WHERE tool <> '')
+SELECT 'component' AS kind,
+       'urn:opentelemetry:namespace/ns-' || role || ':service/' || role
+           || ':database/' || tool AS external_id,
+       'database' AS type_name, tool AS name,
+       'urn:stackpack:common:layer:databases' AS layer,
+       '' AS domain, '' AS environment, '' AS version, '[]' AS identifiers,
+       '{"service.name":"' || role || '","service.namespace":"ns-' || role || '"}' AS tags,
+       CAST(NULL AS VARCHAR) AS source_id, CAST(NULL AS VARCHAR) AS target_id
+FROM res WHERE tool = 'bash'
+UNION ALL
+SELECT 'relation', s || '-' || t, 'database',
+       NULL, NULL, NULL, NULL, NULL, NULL, '{}', s, t
+FROM (SELECT 'urn:opentelemetry:namespace/ns-' || role || ':service/' || role
+                 || ':serviceInstance/' || role AS s,
+             'urn:opentelemetry:namespace/ns-' || role || ':service/' || role
+                 || ':database/' || tool AS t
+      FROM res WHERE tool = 'bash')
+UNION ALL
+SELECT 'relation', s || '-' || t, 'asynchronous',
+       NULL, NULL, NULL, NULL, NULL, NULL, '{}', s, t
+FROM (SELECT 'urn:opentelemetry:namespace/ns-' || role || ':service/' || role
+                 || ':serviceInstance/' || role AS s,
+             'urn:opentelemetry:namespace/ns-' || tool || ':service/' || tool
+                 || ':serviceInstance/' || tool AS t
+      FROM res WHERE tool = 'search')
+UNION ALL
+SELECT 'relation', s || '-' || t, 'synchronous',
+       NULL, NULL, NULL, NULL, NULL, NULL, '{}', s, t
+FROM (SELECT 'urn:opentelemetry:namespace/ns-' || role || ':service/' || role
+                 || ':serviceInstance/' || role AS s,
+             'urn:opentelemetry:namespace/ns-' || tool || ':service/' || tool
+                 || ':serviceInstance/' || tool AS t
+      FROM res WHERE tool NOT IN ('bash', 'search'))""",
     "urn_expand": _PARSED_SQL
     + """SELECT conv_id, turn_idx,
        CASE WHEN tool <> '' AND coalesce(call_arg, '') <> ''
@@ -592,6 +675,7 @@ QUERIES = {
     "route_computed_action": q_route_computed_action,
     "route_component_outputs": q_route_component_outputs,
     "topology_components": q_topology_components,
+    "topology_connections": q_topology_connections,
     "urn_expand": q_urn_expand,
     "agg_counts": q_agg_counts,
     "dedup_relations": q_dedup_relations,

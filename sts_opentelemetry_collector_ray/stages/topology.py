@@ -200,6 +200,125 @@ def add_resource(attrs: dict) -> list[dict]:
     return rows
 
 
+def add_connection(attrs: dict) -> list[dict]:
+    """One connection attr map → relation (+ database component) rows
+    (topology.go:203-319 AddConnection). Required: client,
+    client_service.namespace, server, connection_type ('' → synchronous,
+    'messaging_system' → asynchronous, 'database' → database, anything else →
+    skip). Database connections without a peer service create the
+    per-client database component; async consumers require
+    server_service.namespace; a peer service redirects the target to the
+    peer's service URN (and, for async, adds consumer→peer)."""
+    req = {}
+    for key in ("client", "client_service.namespace", "server", "connection_type"):
+        if key not in attrs:  # all four must be PRESENT ('' is a present value)
+            return []
+        req[key] = attrs[key]
+    ct_raw = req["connection_type"]
+    if ct_raw == "":
+        conn_type = "synchronous"
+    elif ct_raw == "messaging_system":
+        conn_type = "asynchronous"
+    elif ct_raw == "database":
+        conn_type = "database"
+    else:
+        return []
+
+    ns = req["client_service.namespace"]
+    client_instance = attrs.get("client_service.instance.id") or req["client"]
+    source_id = (
+        f"urn:opentelemetry:namespace/{ns}:service/{req['client']}"
+        f":serviceInstance/{client_instance}"
+    )
+    peer = attrs.get("client_peer.service")
+    rows: list[dict] = []
+
+    if conn_type == "database":
+        if peer:
+            target_id = f"urn:opentelemetry:namespace/{ns}:service/{peer}"
+        else:
+            target_id = (
+                f"urn:opentelemetry:namespace/{ns}:service/{req['client']}"
+                f":database/{req['server']}"
+            )
+            rows.append(
+                _component(
+                    target_id, "database", req["server"], _LAYER_DATABASES,
+                    {"service.namespace": ns, "service.name": req["client"]},
+                )
+            )
+    elif conn_type == "asynchronous":
+        consumer_ns = attrs.get("server_service.namespace")
+        if consumer_ns is None:
+            return []
+        consumer_instance = attrs.get("server_service.instance.id") or req["server"]
+        consumer_id = (
+            f"urn:opentelemetry:namespace/{consumer_ns}:service/{req['server']}"
+            f":serviceInstance/{consumer_instance}"
+        )
+        if peer:
+            target_id = f"urn:opentelemetry:namespace/{ns}:service/{peer}"
+            rows.append(_relation(consumer_id, target_id, conn_type))
+        else:
+            target_id = consumer_id
+    else:  # synchronous
+        server_ns = attrs.get("server_service.namespace")
+        if server_ns is None:
+            return []
+        server_instance = attrs.get("server_service.instance.id") or req["server"]
+        target_id = (
+            f"urn:opentelemetry:namespace/{server_ns}:service/{req['server']}"
+            f":serviceInstance/{server_instance}"
+        )
+
+    rows.append(_relation(source_id, target_id, conn_type))
+    return rows
+
+
+def connection_topology_stage(
+    ds: "ray.data.Dataset",
+    attr_cols: dict[str, str],
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """AddConnection over attribute COLUMNS — same three-stage shape as
+    `topology_stage` (distinct-combiner → per-distinct build → bucket dedup)."""
+    keys = list(attr_cols)
+    cols = [attr_cols[k] for k in keys]
+
+    def distinct_conns(t: pa.Table) -> pa.Table:
+        sub = t.select(cols).rename_columns(keys)
+        return sub.group_by(keys).aggregate([])
+
+    def build(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for rec in t.to_pylist():
+            attrs = {k: v for k, v in rec.items() if v is not None}
+            # connection_type may legitimately be '' (synchronous)
+            rows.extend(add_connection(attrs))
+        if not rows:
+            return TOPOLOGY_SCHEMA.empty_table()
+        return _first_per_id(pa.Table.from_pylist(rows, schema=TOPOLOGY_SCHEMA))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a32_arrow
+
+        b = (
+            fnv1a32_arrow(t["external_id"].combine_chunks()) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"])
+        df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.drop_duplicates(["kind", "external_id"], keep="first")
+
+    d = ds.map_batches(distinct_conns, batch_format="pyarrow")
+    built = d.map_batches(build, batch_format="pyarrow").map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+    return built.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def topology_stage(
     ds: "ray.data.Dataset",
     attr_cols: dict[str, str],

@@ -265,6 +265,50 @@ def test_topology_add_resource_reference_semantics():
     assert add_resource({"host.id": "h"}) == []
 
 
+def test_topology_add_connection_reference_semantics():
+    """topology.go:203-319: peer redirection, async consumer relation, missing
+    required attr ⇒ skip, unknown connection_type ⇒ skip, instance-id fallback."""
+    from sts_opentelemetry_collector_ray.stages.topology import add_connection
+
+    base = {"client": "web", "client_service.namespace": "p", "server": "db1"}
+    # database without peer: component + relation
+    rows = add_connection({**base, "connection_type": "database"})
+    comp = [r for r in rows if r["kind"] == "component"][0]
+    rel = [r for r in rows if r["kind"] == "relation"][0]
+    assert comp["external_id"] == "urn:opentelemetry:namespace/p:service/web:database/db1"
+    assert comp["type_name"] == "database"
+    assert rel["source_id"].endswith(":serviceInstance/web")  # instance fallback
+    assert rel["target_id"] == comp["external_id"] and rel["type_name"] == "database"
+    # database WITH peer: no component, target is the peer service
+    rows = add_connection(
+        {**base, "connection_type": "database", "client_peer.service": "pg"}
+    )
+    assert all(r["kind"] == "relation" for r in rows)
+    assert rows[0]["target_id"] == "urn:opentelemetry:namespace/p:service/pg"
+    # async with peer: consumer->peer AND producer->peer
+    rows = add_connection(
+        {**base, "connection_type": "messaging_system",
+         "server_service.namespace": "q", "client_peer.service": "topic"}
+    )
+    targets = {r["target_id"] for r in rows}
+    assert targets == {"urn:opentelemetry:namespace/p:service/topic"}
+    sources = {r["source_id"] for r in rows}
+    assert "urn:opentelemetry:namespace/q:service/db1:serviceInstance/db1" in sources
+    # async without server namespace: skip
+    assert add_connection({**base, "connection_type": "messaging_system"}) == []
+    # sync with explicit instance ids
+    rows = add_connection(
+        {**base, "connection_type": "", "server_service.namespace": "q",
+         "client_service.instance.id": "i9", "server_service.instance.id": "j7"}
+    )
+    assert rows[0]["source_id"].endswith(":serviceInstance/i9")
+    assert rows[0]["target_id"].endswith(":serviceInstance/j7")
+    assert rows[0]["type_name"] == "synchronous"
+    # unknown type / missing required attr: skip
+    assert add_connection({**base, "connection_type": "bogus"}) == []
+    assert add_connection({"client": "x", "connection_type": ""}) == []
+
+
 def test_route_computed_action_expression():
     """action as a CEL-lite string expression (mapping_handler.go:103-121):
     per-element CREATE/DELETE branch, unknown value ⇒ silent skip."""
