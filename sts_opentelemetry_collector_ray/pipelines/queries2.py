@@ -83,6 +83,25 @@ def q_sg_latency_hist(sf_dir: str):
     return latency_histogram(edge_table(_parsed_transcripts(sf_dir)))
 
 
+def q_sg_red_dims(sf_dir: str):
+    """RED counters with an EXTRA series dimension (status), the analogue of the
+    connector's Dimensions config (stsservicegraphconnector/config.go:20-27)."""
+    import pyarrow.compute as pc
+
+    edges = edge_table(_parsed_transcripts(sf_dir))
+
+    def add_status(t: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.equal(t["failed"], 1), pa.scalar("error"), pa.scalar("ok")
+        )
+        return t.append_column("status", status)
+
+    return red_metrics(
+        edges.map_batches(add_status, batch_format="pyarrow"),
+        dimensions=["status"],
+    )
+
+
 def q_sg_topology_relations(sf_dir: str):
     """SURVEY §3.2 end-to-end: traces → service-graph RED metrics → topology
     relation rows (ststopologyexporter ConsumeMetrics path)."""
@@ -251,6 +270,12 @@ ORACLES2: dict[str, str] = {
     + """SELECT tool, client_role, COUNT(*) AS n, CAST(SUM(failed) AS BIGINT) AS failed,
        CAST(SUM(latency_us) AS BIGINT) AS latency_us_sum
 FROM edges GROUP BY tool, client_role""",
+    "sg_red_dims": _EDGES_SQL
+    + """SELECT tool, client_role,
+       CASE WHEN failed = 1 THEN 'error' ELSE 'ok' END AS status,
+       COUNT(*) AS n, CAST(SUM(failed) AS BIGINT) AS failed,
+       CAST(SUM(latency_us) AS BIGINT) AS latency_us_sum
+FROM edges GROUP BY 1, 2, 3""",
     "sg_topology_relations": _EDGES_SQL
     + """SELECT 'urn:role/' || client_role || '-' || 'urn:tool/' || tool AS external_id,
        'urn:role/' || client_role AS source_id,
@@ -683,6 +708,7 @@ FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5"""
 QUERIES2 = {
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,
+    "sg_red_dims": q_sg_red_dims,
     "sg_latency_hist": q_sg_latency_hist,
     "sg_topology_relations": q_sg_topology_relations,
     "envelope_pack": q_envelope_pack,

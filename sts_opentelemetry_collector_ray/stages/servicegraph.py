@@ -110,31 +110,36 @@ def edge_table(parsed: "ray.data.Dataset", num_buckets: int = 32) -> "ray.data.D
     )
 
 
-def red_metrics(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Request/Error counts + latency sum per series key (A1 + A2 sum/count)."""
+def red_metrics(
+    edges: "ray.data.Dataset", dimensions: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Request/Error counts + latency sum per series key (A1 + A2 sum/count).
+
+    ``dimensions`` appends extra series-key columns on top of the provided
+    (tool, client_role) — the analogue of the connector's ``Dimensions`` config
+    (stsservicegraphconnector/config.go:20-27): any edge column can widen the
+    series key, pre-combined per batch exactly like the base keys."""
     from ray.data.aggregate import Sum
+
+    keys = ["tool", "client_role"] + list(dimensions or [])
 
     def partial(t: pa.Table) -> pa.Table:
         # Arrow-native partial aggregate — no pandas round-trip inside the stage
         g = (
-            t.select(["tool", "client_role", "failed", "latency_us"])
-            .group_by(["tool", "client_role"])
+            t.select(keys + ["failed", "latency_us"])
+            .group_by(keys)
             .aggregate(
                 [("failed", "count"), ("failed", "sum"), ("latency_us", "sum")]
             )
         )
-        return pa.table(
-            {
-                "tool": g["tool"],
-                "client_role": g["client_role"],
-                "n": g["failed_count"].cast(pa.int64()),
-                "failed": g["failed_sum"].cast(pa.int64()),
-                "latency_us_sum": g["latency_us_sum"].cast(pa.int64()),
-            }
-        )
+        cols = {k: g[k] for k in keys}
+        cols["n"] = g["failed_count"].cast(pa.int64())
+        cols["failed"] = g["failed_sum"].cast(pa.int64())
+        cols["latency_us_sum"] = g["latency_us_sum"].cast(pa.int64())
+        return pa.table(cols)
 
     partials = edges.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["tool", "client_role"]).aggregate(
+    return partials.groupby(keys).aggregate(
         Sum("n", alias_name="n"),
         Sum("failed", alias_name="failed"),
         Sum("latency_us_sum", alias_name="latency_us_sum"),
