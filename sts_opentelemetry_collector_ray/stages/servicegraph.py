@@ -257,3 +257,39 @@ def latency_histogram(
 
     partials = edges.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["tool", "bucket_idx"]).aggregate(Sum("pn", alias_name="n"))
+
+
+def resolve_database_name(
+    db_system: "pa.Array | pa.ChunkedArray",
+    peer_service: "pa.Array | pa.ChunkedArray",
+    db_name: "pa.Array | pa.ChunkedArray",
+    redis_index: "pa.Array | pa.ChunkedArray",
+) -> "pa.Array":
+    """Database-edge name resolution (stsservicegraphconnector/connector.go:721-744
+    FindDatabase): null when db.system is absent; otherwise the first of
+    peer.service, db.name, then db.system itself — with the redis special case
+    appending the database index ('redis <idx>'). Fully vectorized (one
+    np.select over the four attr columns)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sys_ = db_system.to_numpy(zero_copy_only=False)
+    peer = peer_service.to_numpy(zero_copy_only=False)
+    name = db_name.to_numpy(zero_copy_only=False)
+    ridx = redis_index.to_numpy(zero_copy_only=False)
+
+    has = np.array([v is not None for v in sys_])
+    has_peer = np.array([v is not None for v in peer])
+    has_name = np.array([v is not None for v in name])
+    is_redis = np.array([v == "redis" for v in sys_]) & np.array(
+        [v is not None for v in ridx]
+    )
+    redis_name = np.array(
+        [f"redis {r}" if r is not None else None for r in ridx], dtype=object
+    )
+    out = np.select(
+        [~has, has_peer, has_name, is_redis],
+        [None, peer, name, redis_name],
+        default=sys_,
+    )
+    return pa.array(out, pa.string())

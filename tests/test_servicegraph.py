@@ -97,3 +97,20 @@ def test_native_join_variant_matches_bucket_join(ray_session):
         aa[c] = aa[c].astype(bb[c].dtype) if aa[c].dtype != bb[c].dtype else aa[c]
     pd.testing.assert_frame_equal(aa, bb)
     assert len(aa) > 0
+
+
+def test_find_database_resolution_chain():
+    """connector.go:721-744: peer.service > db.name > redis+index > db.system;
+    no db.system ⇒ null."""
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.servicegraph import (
+        resolve_database_name,
+    )
+
+    sys_ = pa.array([None, "postgres", "postgres", "redis", "redis", "mysql"])
+    peer = pa.array(["p", "peer-db", None, None, None, None])
+    name = pa.array([None, "orders", "orders", None, "cache", None])
+    ridx = pa.array([None, None, None, "3", "9", None])
+    out = resolve_database_name(sys_, peer, name, ridx).to_pylist()
+    assert out == [None, "peer-db", "orders", "redis 3", "cache", "mysql"]
