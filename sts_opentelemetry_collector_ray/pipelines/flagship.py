@@ -93,6 +93,50 @@ def routed_dataset(
     return out
 
 
+def cluster_input_by_conv(
+    input_dir: str, out_dir: str, num_partitions: int = 8
+) -> str:
+    """Re-layout a transcript corpus so each output shard holds WHOLE
+    conversations (``hash(conv_id) % num_partitions``). Running `flagship_run`
+    over the clustered layout with ``num_partitions`` partitions makes the
+    partition-scoped dedup GLOBALLY exact (no conversation straddles a
+    partition) while keeping every partition-level property — checkpointing,
+    ordering, resume. One bounded exchange over the raw corpus; files are
+    written one per shard, named so `_chunk` maps shard ↔ partition 1:1."""
+    from ..functions.hashing import fnv1a32_arrow
+    import numpy as np
+
+    ds = ray.data.read_parquet(sorted(glob.glob(os.path.join(input_dir, "*.parquet"))))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (
+            fnv1a32_arrow(t["conv_id"].combine_chunks())
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("_shard", pa.array(b, pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g):
+        import pandas as pd
+
+        sid = int(g["_shard"].iloc[0])
+        tbl = pa.Table.from_pandas(
+            g.drop(columns=["_shard"]), preserve_index=False
+        ).replace_schema_metadata(None)
+        pq.write_table(tbl, os.path.join(out_dir, f"shard-{sid:05d}.parquet"))
+        return pd.DataFrame({"shard": [sid], "rows": [len(g)]})
+
+    counts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    assert len(counts) <= num_partitions
+    return out_dir
+
+
 def _chunk(files: list[str], n_parts: int) -> list[list[str]]:
     n_parts = max(1, min(n_parts, len(files)))
     size = (len(files) + n_parts - 1) // n_parts

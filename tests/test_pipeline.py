@@ -245,6 +245,34 @@ def test_ruleset_hot_swap_keep_policy(multi_file_transcripts, tmp_path):
     assert "m-old" in set(tdf["data_source"])
 
 
+def test_conv_clustered_input_makes_dedup_globally_exact(
+    multi_file_transcripts, tmp_path
+):
+    """cluster_input_by_conv re-shards so no conversation straddles a partition;
+    flagship's partition-scoped dedup then equals the globally-exact
+    routed_dataset(dedup=True) row count."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.pipelines.flagship import (
+        cluster_input_by_conv,
+        routed_dataset,
+    )
+
+    clustered = cluster_input_by_conv(
+        multi_file_transcripts, str(tmp_path / "clustered"), num_partitions=3
+    )
+    out = str(tmp_path / "exact")
+    r = flagship_run(clustered, out, num_partitions=3, enrich_concurrency=2)
+    exact = routed_dataset(
+        ray.data.read_parquet(
+            sorted(glob.glob(os.path.join(multi_file_transcripts, "*.parquet")))
+        ),
+        dedup=True,
+        enrich_concurrency=2,
+    ).count()
+    assert r.routed_rows == exact
+
+
 def test_crashed_write_resumes_clean(multi_file_transcripts, tmp_path):
     """A partition that died mid-write (files on disk, NO manifest) must be
     fully rewritten on resume — on_write_start clears the partial directory, so
