@@ -26,8 +26,9 @@ a partition is the unit of checkpointing, of ordering AND of dedup scope:
   and TTL'd (deduplicator.go:52-205): duplicates across replicas/expiry windows are
   expected there and downstream consumers upsert idempotently. A conv-clustered
   input layout (one conversation per partition) makes conv-scoped dedup globally
-  exact; `routed_dataset(dedup=True)` on an unpartitioned Dataset is the
-  globally-exact variant.
+  exact — `cluster_input_by_conv` produces that layout with one bounded
+  exchange; `routed_dataset(dedup=True)` on an unpartitioned Dataset is the
+  single-pipeline globally-exact variant.
 
 Skew note: the aggregate uses per-batch combiners (stages/aggregate.py), so hot
 conversations never concentrate on one reducer; the sort is a range shuffle over
