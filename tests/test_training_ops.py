@@ -103,7 +103,7 @@ def test_audio_features_real_dsp():
     for b in d["band_energy"]:
         assert all(0 <= x <= 1 for x in b)
     # deterministic across calls
-    feats2 = AudioFeatureActor()(synthesize_media := synthesize_audio_batch(t))
+    feats2 = AudioFeatureActor()(synthesize_audio_batch(t))
     assert feats.equals(feats2)
 
 
