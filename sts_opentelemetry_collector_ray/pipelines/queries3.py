@@ -112,6 +112,19 @@ def q_image_thumbs(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video path (no stub): raw RGB frame stacks keyed by doc_id →
+    actor-pool decode (frombuffer/reshape) + every-3rd-frame sampling +
+    brightness/motion scores. Rows-only; sampling math is unit-tested."""
+    from ..stages.multimodal import synthesize_video_batch, video_sample_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synthesize_video_batch, batch_format="pyarrow")
+    return video_sample_stage(media, concurrency=2).select_columns(
+        ["media_id", "n_sampled", "frame_brightness", "motion_score"]
+    )
+
+
 def q_emb_pca(sf_dir: str):
     """PCA projection of the embeddings table to 8 dims: driver fit on a bounded
     sample, broadcast components, per-batch matmul projection (shuffle-free).
@@ -442,6 +455,7 @@ QUERIES3 = {
     "docs_split": q_docs_split,
     "audio_features": q_audio_features,
     "image_thumbs": q_image_thumbs,
+    "video_frames": q_video_frames,
     "emb_pca": q_emb_pca,
     "docs_join_emb": q_docs_join_emb,
     "orders_top_per_cust": q_orders_top_per_cust,

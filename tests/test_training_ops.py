@@ -149,6 +149,32 @@ def test_pca_variance_ordering_and_reconstruction():
     np.testing.assert_array_equal(comps, c2)
 
 
+def test_video_frame_sampling_real():
+    """Frame sampling is real: stride-3 over 8 frames keeps frames 0,3,6; the
+    shifting gradient gives constant brightness per frame-mean of r+g channels
+    (b varies by frame), and nonzero motion."""
+    from sts_opentelemetry_collector_ray.stages.multimodal import (
+        VID_FRAMES,
+        VideoFrameSampleActor,
+        synthesize_video_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([0, 7], pa.int64())})
+    media = synthesize_video_batch(t)
+    out = VideoFrameSampleActor(stride=3)(media)
+    d = out.to_pydict()
+    assert d["n_sampled"] == [3, 3]  # frames 0, 3, 6 of 8
+    for payload, mid in zip(d["frames"], d["media_id"]):
+        vid = np.frombuffer(payload, np.uint8).reshape(3, 24, 32, 3)
+        full = np.frombuffer(
+            media["payload"][list(d["media_id"]).index(mid)].as_py(), np.uint8
+        ).reshape(VID_FRAMES, 24, 32, 3)
+        np.testing.assert_array_equal(vid, full[::3])
+    assert all(m > 0 for m in d["motion_score"])
+    # deterministic
+    assert VideoFrameSampleActor(stride=3)(media).equals(out)
+
+
 def test_neardup_dedup_keeps_one_per_cluster(docs):
     from sts_opentelemetry_collector_ray.stages.dedup_docs import neardup_dedup_docs
 
