@@ -1,0 +1,247 @@
+"""Differential test: the vectorized Router vs a NAIVE per-row reference
+implementation of the mapping semantics (conditions with error⇒false, per-level
+pruning, computed actions with silent skip, required-strict / optional-lenient
+projections, DELETE-only-for-LOGS) — randomized rules × randomized rows.
+
+The naive interpreter is deliberately the dumbest possible transcription of
+mapping_handler.go / mapping.go: one Python dict per row, try/except per
+expression. Any divergence from the vectorized engine is a bug in one of them.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sts_opentelemetry_collector_ray.rules.expr import canonical_json
+from sts_opentelemetry_collector_ray.rules.model import (
+    ComponentRule,
+    RelationRule,
+    normalize_dependency,
+)
+from sts_opentelemetry_collector_ray.stages.enrich import EnrichActor
+from sts_opentelemetry_collector_ray.stages.parse import parse_batch
+from sts_opentelemetry_collector_ray.stages.route import Router
+from tests.test_stages import turns_table
+
+ACTIONS = ("CREATE", "DELETE", "CONTINUE")
+
+
+def _eval_row(expr_src, row):
+    """Naive single-row CEL-lite eval via the engine's own row fallback —
+    compile once, run the interpreter in scalar mode."""
+    from sts_opentelemetry_collector_ray.rules.expr import compile_expr
+
+    c = compile_expr(expr_src, "any")
+    env = {k: np.array([v], dtype=object) for k, v in row.items() if k != "vars"}
+    if "vars" in row:
+        env["vars"] = {k: np.array([v], dtype=object) for k, v in row["vars"].items()}
+    vals, errs, _ = c._eval_rows(env, 1)
+    if errs[0]:
+        raise ValueError("eval error")
+    return vals[0]
+
+
+def naive_apply(rule_obj, compiled, row):
+    """Reference transcription of one rule over one row: returns None (skip),
+    ('error', msg) or a dict of outputs."""
+    # per-level conditions: resource prunes first, both error ⇒ false
+    for cond in (rule_obj.resource_condition, rule_obj.condition):
+        if cond:
+            try:
+                if not bool(_eval_row(cond, row)):
+                    return None
+            except ValueError:
+                return None
+    # action
+    act = rule_obj.action
+    if act is None:
+        act = "CREATE"
+    elif act not in ACTIONS:
+        try:
+            act = _eval_row(act, row)
+        except ValueError:
+            return None
+        if act not in ("CREATE", "DELETE", "CONTINUE"):
+            return None
+    if act == "CONTINUE":
+        return None
+    if act == "DELETE" and rule_obj.signal != "LOGS":
+        return None
+    # vars: for DELETE, only evaluated when the id expressions reference them
+    # (eval.go:15-54 — DELETE messages carry only the identifier); a var that
+    # stays unevaluated makes vars-referencing OPTIONAL outputs lapse to null.
+    row = dict(row)
+    if rule_obj.vars:
+        from sts_opentelemetry_collector_ray.rules.expr import compile_expr
+
+        id_srcs = (
+            [rule_obj.source_id_expr, rule_obj.target_id_expr]
+            if isinstance(rule_obj, RelationRule)
+            else [rule_obj.identifier_expr]
+        )
+        id_uses_vars = any("vars" in compile_expr(s, "any").refs for s in id_srcs)
+        if act != "DELETE" or id_uses_vars:
+            vars_out = {}
+            for vn, vs in rule_obj.vars.items():
+                try:
+                    vars_out[vn] = _eval_row(vs, row)
+                except ValueError:
+                    return ("error", f"var {vn}")
+            row["vars"] = vars_out
+    err = None
+    if isinstance(rule_obj, RelationRule):
+        try:
+            src = str(_eval_row(rule_obj.source_id_expr, row))
+            tgt = str(_eval_row(rule_obj.target_id_expr, row))
+            tname = str(_eval_row(rule_obj.type_name_expr, row))
+            dep = normalize_dependency(str(_eval_row(rule_obj.dependency_type_expr, row)))
+        except ValueError:
+            return ("error", "required")
+        return {
+            "action": act, "external_id": f"{src}-{tgt}", "source_id": src,
+            "target_id": tgt, "type_name": tname, "dependency_type": dep,
+            "name": None,
+        }
+    try:
+        ext = str(_eval_row(rule_obj.identifier_expr, row))
+        tname = str(_eval_row(rule_obj.type_name_expr, row))
+    except ValueError:
+        return ("error", "required")
+    name = None
+    if rule_obj.name_expr:
+        try:
+            v = _eval_row(rule_obj.name_expr, row)
+            name = None if v is None else str(v)
+        except ValueError:
+            name = None  # optional-lenient
+    return {
+        "action": act, "external_id": ext, "type_name": tname, "name": name,
+        "source_id": None, "target_id": None, "dependency_type": None,
+    }
+
+
+def _random_rules(rng):
+    sevs = ["INFO", "WARN", "ERROR", "DEBUG", "UNKNOWN"]
+    rules = []
+    for i in range(rng.integers(3, 8)):
+        kind = rng.integers(0, 5)
+        cond = (
+            None
+            if rng.random() < 0.3
+            else f"severity == '{sevs[rng.integers(0, 5)]}'"
+            if rng.random() < 0.6
+            else f"tool != '' and severity in ['{sevs[rng.integers(0, 5)]}', 'ERROR']"
+        )
+        rcond = None if rng.random() < 0.6 else f"role == '{['user','tool','assistant'][rng.integers(0,3)]}'"
+        action = rng.choice(
+            [
+                None, "CREATE", "DELETE",
+                "'DELETE' if severity == 'UNKNOWN' else 'CREATE'",
+                "'CREATE' if tool != '' else 'SKIPME'",
+            ]
+        )
+        signal = rng.choice(["LOGS", "METRICS"])
+        if kind == 4:
+            rules.append(
+                RelationRule(
+                    identifier=f"rel-{i}", sink=f"s{i % 3}", signal=signal,
+                    resource_condition=rcond, condition=cond, action=action,
+                    source_id_expr="'urn:c/' + conv_id",
+                    target_id_expr="'urn:t/' + tool",
+                    type_name_expr="'uses'",
+                    dependency_type_expr=rng.choice(
+                        ["'connection'", "'HIERARCHICAL'", "'weird'"]
+                    ),
+                )
+            )
+        else:
+            name_expr = rng.choice([None, "role", "'n:' + missing_col", "vars.sig"])
+            vars_ = (
+                {"sig": "coalesce(tool_sig, 'none')"}
+                if (name_expr == "vars.sig" or rng.random() < 0.3)
+                else {}
+            )
+            # vars + COMPUTED action is excluded from the fuzz: the engine
+            # evaluates vars batch-wide when ANY row is non-DELETE (a documented
+            # batch-level approximation of the per-element var pruning), so the
+            # per-row naive reference legitimately diverges on name-from-vars
+            # for DELETE rows inside mixed batches.
+            if vars_ and action is not None and action not in ACTIONS:
+                action = rng.choice([None, "CREATE", "DELETE"])
+            ident = rng.choice(
+                [
+                    "'u:' + conv_id + '/' + string(turn_idx)",
+                    "'x:' + missing_col",  # required failure -> error row
+                    "'t:' + tool",
+                ]
+            )
+            rules.append(
+                ComponentRule(
+                    identifier=f"comp-{i}", sink=f"s{i % 3}", signal=signal,
+                    resource_condition=rcond, condition=cond, action=action,
+                    vars=vars_, identifier_expr=ident,
+                    name_expr=name_expr, type_name_expr=f"'t{i}'",
+                )
+            )
+    return rules
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_router_matches_naive_reference(seed):
+    rng = np.random.default_rng(seed)
+    sevs = np.array(["INFO", "WARN", "ERROR", "DEBUG"])
+    tools = np.array(["", "bash", "search"])
+    roles = np.array(["user", "tool", "assistant"])
+    n = 120
+    rows = []
+    for i in range(n):
+        sev = sevs[rng.integers(0, 4)]
+        tool = tools[rng.integers(0, 3)]
+        text = (
+            "no tokens here"
+            if rng.random() < 0.1
+            else f"[{sev}] m k={i}" + (f" call:{tool}(q{i})" if tool else "")
+        )
+        rows.append(
+            {
+                "conv_id": f"c{i % 9}",
+                "turn_idx": i,
+                "role": roles[rng.integers(0, 3)],
+                "tool": tool,
+                "text": text,
+            }
+        )
+    batch = EnrichActor()(parse_batch(turns_table(rows)))
+    rules = _random_rules(rng)
+    compiled = [r.compile() for r in rules]
+    got = Router(rules=compiled)(batch).to_pylist()
+
+    # naive expectation, keyed per (rule, row)
+    batch_rows = batch.to_pylist()
+    expected = []
+    for rule_obj in rules:
+        for row in batch_rows:
+            r = naive_apply(rule_obj, None, row)
+            if r is None:
+                continue
+            if isinstance(r, tuple):
+                expected.append((rule_obj.identifier, row["turn_idx"], "ERROR"))
+            else:
+                expected.append(
+                    (rule_obj.identifier, row["turn_idx"], r["action"],
+                     r["external_id"], r["type_name"], r["name"],
+                     r["source_id"], r["target_id"], r["dependency_type"])
+                )
+    got_keys = []
+    for r in got:
+        if r["error"] is not None:
+            got_keys.append((r["data_source"], r["turn_idx"], "ERROR"))
+        else:
+            got_keys.append(
+                (r["data_source"], r["turn_idx"], r["action"], r["external_id"],
+                 r["type_name"], r["name"], r["source_id"], r["target_id"],
+                 r["dependency_type"])
+            )
+    assert sorted(map(str, got_keys)) == sorted(map(str, expected)), (
+        f"seed {seed}: {len(got_keys)} engine rows vs {len(expected)} naive rows"
+    )
