@@ -100,7 +100,8 @@ def naive_apply(rule_obj, compiled, row):
         return {
             "action": act, "external_id": f"{src}-{tgt}", "source_id": src,
             "target_id": tgt, "type_name": tname, "dependency_type": dep,
-            "name": None,
+            "name": None, "identifiers": None, "configuration": None,
+            "status": None, "version": None,
         }
     try:
         ext = str(_eval_row(rule_obj.identifier_expr, row))
@@ -114,9 +115,76 @@ def naive_apply(rule_obj, compiled, row):
             name = None if v is None else str(v)
         except ValueError:
             name = None  # optional-lenient
+    # field outputs (mapping.go:65-150): identifiers order = identifier,
+    # optional additions (lenient), required additions (strict); required
+    # wins for configuration/status/version; non-map ⇒ null Struct.
+    ids = [ext]
+    for e in rule_obj.optional_additional_identifiers:
+        try:
+            v = _eval_row(e, row)
+            if v is not None:
+                ids.append(str(v))
+        except ValueError:
+            pass
+    for e in rule_obj.additional_identifiers:
+        try:
+            ids.append(str(_eval_row(e, row)))
+        except ValueError:
+            return ("error", "required.additionalIdentifiers")
+
+    def any_field(req, opt):
+        out = None
+        if req:
+            try:
+                v = _eval_row(req, row)
+                if isinstance(v, dict):
+                    out = canonical_json(v)
+            except ValueError:
+                return ("error", "required")
+        if out is None and opt:
+            try:
+                v = _eval_row(opt, row)
+                if isinstance(v, dict):
+                    out = canonical_json(v)
+            except ValueError:
+                pass
+        return out
+
+    cfg = any_field(rule_obj.required_configuration, rule_obj.optional_configuration)
+    if isinstance(cfg, tuple):
+        return ("error", "required.configuration")
+    st = any_field(rule_obj.required_status, rule_obj.optional_status)
+    if isinstance(st, tuple):
+        return ("error", "required.status")
+    has_field_outputs = bool(
+        rule_obj.additional_identifiers or rule_obj.optional_additional_identifiers
+        or rule_obj.required_configuration or rule_obj.optional_configuration
+        or rule_obj.required_status or rule_obj.optional_status
+        or rule_obj.required_version or rule_obj.optional_version
+    )
+    has_add_ids = bool(
+        rule_obj.additional_identifiers or rule_obj.optional_additional_identifiers
+    )
+    version = None
+    if rule_obj.required_version:
+        try:
+            v = _eval_row(rule_obj.required_version, row)
+            version = None if v is None else str(v)
+        except ValueError:
+            return ("error", "required.version")
+    if version is None and rule_obj.optional_version:
+        try:
+            v = _eval_row(rule_obj.optional_version, row)
+            version = None if v is None else str(v)
+        except ValueError:
+            pass
     return {
         "action": act, "external_id": ext, "type_name": tname, "name": name,
         "source_id": None, "target_id": None, "dependency_type": None,
+        "identifiers": canonical_json(ids) if (has_field_outputs and has_add_ids) else None,
+        "configuration": cfg if has_field_outputs else None,
+        "status": st if has_field_outputs else None,
+        "version": version if has_field_outputs else None,
     }
 
 
@@ -175,12 +243,28 @@ def _random_rules(rng):
                     "'t:' + tool",
                 ]
             )
+            fields = {}
+            if rng.random() < 0.5:
+                fields["additional_identifiers"] = (
+                    ["'a:' + conv_id"] if rng.random() < 0.7 else ["'a:' + missing_col"]
+                )
+                fields["optional_additional_identifiers"] = ["'o:' + tool", "'x' + missing_col"]
+            if rng.random() < 0.5:
+                fields["required_configuration"] = rng.choice(
+                    ["pick(attrs, ['attr.env'])", "'notamap'"]
+                )
+                fields["optional_configuration"] = "attrs"
+            if rng.random() < 0.4:
+                fields["optional_status"] = rng.choice(["omit(attrs, [])", "'alive'"])
+            if rng.random() < 0.4:
+                fields["optional_version"] = "'v-' + role"
             rules.append(
                 ComponentRule(
                     identifier=f"comp-{i}", sink=f"s{i % 3}", signal=signal,
                     resource_condition=rcond, condition=cond, action=action,
                     vars=vars_, identifier_expr=ident,
                     name_expr=name_expr, type_name_expr=f"'t{i}'",
+                    **fields,
                 )
             )
     return rules
@@ -197,10 +281,11 @@ def test_router_matches_naive_reference(seed):
     for i in range(n):
         sev = sevs[rng.integers(0, 4)]
         tool = tools[rng.integers(0, 3)]
+        attr = " attr.env=prod attr.zone=z1" if rng.random() < 0.4 else ""
         text = (
             "no tokens here"
             if rng.random() < 0.1
-            else f"[{sev}] m k={i}" + (f" call:{tool}(q{i})" if tool else "")
+            else f"[{sev}] m k={i}" + (f" call:{tool}(q{i})" if tool else "") + attr
         )
         rows.append(
             {
@@ -216,8 +301,16 @@ def test_router_matches_naive_reference(seed):
     compiled = [r.compile() for r in rules]
     got = Router(rules=compiled)(batch).to_pylist()
 
-    # naive expectation, keyed per (rule, row)
-    batch_rows = batch.to_pylist()
+    # naive expectation, keyed per (rule, row). Map columns arrive from
+    # to_pylist as key/value tuple lists (None when absent) — the engine's
+    # batch env materializes them as dicts with null ⇒ EMPTY map (the
+    # reference's pcommon.Map is never nil), so mirror that here.
+    batch_rows = []
+    for row in batch.to_pylist():
+        row = dict(row)
+        a = row.get("attrs")
+        row["attrs"] = dict(a) if a is not None else {}
+        batch_rows.append(row)
     expected = []
     for rule_obj in rules:
         for row in batch_rows:
@@ -230,7 +323,8 @@ def test_router_matches_naive_reference(seed):
                 expected.append(
                     (rule_obj.identifier, row["turn_idx"], r["action"],
                      r["external_id"], r["type_name"], r["name"],
-                     r["source_id"], r["target_id"], r["dependency_type"])
+                     r["source_id"], r["target_id"], r["dependency_type"],
+                     r["identifiers"], r["configuration"], r["status"], r["version"])
                 )
     got_keys = []
     for r in got:
@@ -240,7 +334,8 @@ def test_router_matches_naive_reference(seed):
             got_keys.append(
                 (r["data_source"], r["turn_idx"], r["action"], r["external_id"],
                  r["type_name"], r["name"], r["source_id"], r["target_id"],
-                 r["dependency_type"])
+                 r["dependency_type"], r["identifiers"], r["configuration"],
+                 r["status"], r["version"])
             )
     assert sorted(map(str, got_keys)) == sorted(map(str, expected)), (
         f"seed {seed}: {len(got_keys)} engine rows vs {len(expected)} naive rows"
