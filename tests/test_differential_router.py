@@ -100,8 +100,8 @@ def naive_apply(rule_obj, compiled, row):
         return {
             "action": act, "external_id": f"{src}-{tgt}", "source_id": src,
             "target_id": tgt, "type_name": tname, "dependency_type": dep,
-            "name": None, "identifiers": None, "configuration": None,
-            "status": None, "version": None,
+            "name": None, "tags": None, "identifiers": None,
+            "configuration": None, "status": None, "version": None,
         }
     try:
         ext = str(_eval_row(rule_obj.identifier_expr, row))
@@ -115,6 +115,25 @@ def naive_apply(rule_obj, compiled, row):
             name = None if v is None else str(v)
         except ValueError:
             name = None  # optional-lenient
+    # tags: regex expansion first, explicit tags overwrite (mapping.go:213-243)
+    tags = None
+    if rule_obj.tags or rule_obj.regex_tags:
+        merged = {}
+        for rt in rule_obj.regex_tags:
+            try:
+                src = _eval_row(rt.source, row)
+            except ValueError:
+                continue
+            if isinstance(src, dict):
+                merged.update(rt.compile().expand(src))
+        for tg in rule_obj.tags:
+            try:
+                v = _eval_row(tg.source, row)
+                if v is not None:
+                    merged[tg.target] = str(v)
+            except ValueError:
+                pass
+        tags = canonical_json(merged)
     # field outputs (mapping.go:65-150): identifiers order = identifier,
     # optional additions (lenient), required additions (strict); required
     # wins for configuration/status/version; non-map ⇒ null Struct.
@@ -180,7 +199,7 @@ def naive_apply(rule_obj, compiled, row):
             pass
     return {
         "action": act, "external_id": ext, "type_name": tname, "name": name,
-        "source_id": None, "target_id": None, "dependency_type": None,
+        "source_id": None, "target_id": None, "dependency_type": None, "tags": tags,
         "identifiers": canonical_json(ids) if (has_field_outputs and has_add_ids) else None,
         "configuration": cfg if has_field_outputs else None,
         "status": st if has_field_outputs else None,
@@ -258,6 +277,17 @@ def _random_rules(rng):
                 fields["optional_status"] = rng.choice(["omit(attrs, [])", "'alive'"])
             if rng.random() < 0.4:
                 fields["optional_version"] = "'v-' + role"
+            if rng.random() < 0.5:
+                from sts_opentelemetry_collector_ray.rules.model import (
+                    RegexTagMapping,
+                    TagMapping,
+                )
+
+                fields["regex_tags"] = [
+                    RegexTagMapping(source="attrs", pattern=r"^attr\.(.+)$", target="t.${1}")
+                ]
+                if rng.random() < 0.5:
+                    fields["tags"] = [TagMapping(source="role", target="t.env")]
             rules.append(
                 ComponentRule(
                     identifier=f"comp-{i}", sink=f"s{i % 3}", signal=signal,
@@ -324,7 +354,8 @@ def test_router_matches_naive_reference(seed):
                     (rule_obj.identifier, row["turn_idx"], r["action"],
                      r["external_id"], r["type_name"], r["name"],
                      r["source_id"], r["target_id"], r["dependency_type"],
-                     r["identifiers"], r["configuration"], r["status"], r["version"])
+                     r["tags"], r["identifiers"], r["configuration"], r["status"],
+                     r["version"])
                 )
     got_keys = []
     for r in got:
@@ -334,8 +365,8 @@ def test_router_matches_naive_reference(seed):
             got_keys.append(
                 (r["data_source"], r["turn_idx"], r["action"], r["external_id"],
                  r["type_name"], r["name"], r["source_id"], r["target_id"],
-                 r["dependency_type"], r["identifiers"], r["configuration"],
-                 r["status"], r["version"])
+                 r["dependency_type"], r["tags"], r["identifiers"],
+                 r["configuration"], r["status"], r["version"])
             )
     assert sorted(map(str, got_keys)) == sorted(map(str, expected)), (
         f"seed {seed}: {len(got_keys)} engine rows vs {len(expected)} naive rows"
