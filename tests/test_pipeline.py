@@ -306,6 +306,46 @@ def test_torn_manifest_reprocessed(multi_file_transcripts, tmp_path):
     assert json.load(open(mpath))["routed_rows"] > 0  # rewritten whole
 
 
+def test_pathological_hot_conversation_skew(tmp_path):
+    """A single conversation holding 60% of the corpus (the 10⁶-turn agent-loop
+    scenario): the salted flagship completes, matches the unsalted row set
+    exactly, and the hot conversation's rows actually SPREAD across buckets
+    (visible as multiple routed output files containing the hot conv)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray.data
+    from sts_opentelemetry_collector_ray.pipelines.flagship import routed_dataset
+    from sts_opentelemetry_collector_ray.stages.dedup import finalize_routed
+
+    n_hot, n_cold = 12_000, 8_000
+    rows = {
+        "conv_id": ["conv-hot"] * n_hot + [f"conv-{i % 97:04d}" for i in range(n_cold)],
+        "turn_idx": pa.array(
+            list(range(n_hot)) + [i // 97 for i in range(n_cold)], pa.int32()
+        ),
+        "role": ["user"] * (n_hot + n_cold),
+        "text": [f"[INFO] m k={i}" for i in range(n_hot + n_cold)],
+        "tool": [""] * (n_hot + n_cold),
+        "ts": pa.nulls(n_hot + n_cold, pa.timestamp("us")),
+    }
+    src = str(tmp_path / "skew.parquet")
+    _pq.write_table(pa.table(rows), src)
+
+    plain = routed_dataset(
+        ray.data.read_parquet(src), dedup=True, enrich_concurrency=2
+    ).to_pandas()
+    salted = routed_dataset(
+        ray.data.read_parquet(src), dedup=True, enrich_concurrency=2, salt_span=1000
+    ).to_pandas()
+    key = ["sink", "data_source", "conv_id", "turn_idx"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = salted[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_salted_finalize_preserves_dedup_and_counts(multi_file_transcripts):
     """Opt-in hot-conversation salting: identical surviving row set (salting only
     re-buckets turn-unique rows, which cannot have cross-chunk duplicates)."""
