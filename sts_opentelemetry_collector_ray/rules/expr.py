@@ -526,7 +526,10 @@ class CompiledExpr:
         a referenced column is absent from the batch (caller falls back to the
         generic path). Null semantics match the numpy path: null == lit → false,
         null != lit → true, null in [..] → false."""
-        if self._bool_plan is None:
+        import os as _os
+
+        # GRAFT_NO_ARROW_COND=1 forces the generic interpreter (A/B debug knob)
+        if self._bool_plan is None or _os.environ.get("GRAFT_NO_ARROW_COND"):
             return None
         try:
             arr = _eval_bool_plan(self._bool_plan, batch)
