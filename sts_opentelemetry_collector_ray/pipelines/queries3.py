@@ -197,6 +197,19 @@ def q_orders_top_per_cust(sf_dir: str):
     return b.groupby("_b").map_groups(topk, batch_format="pandas")
 
 
+def q_docs_gopher(sf_dir: str):
+    """Gopher-rule document quality filter (Rae et al. 2021, appendix A1.1):
+    word-count bounds, mean-word-length bounds, symbol ratios, stop-word
+    evidence — per-rule flags plus the combined keep decision."""
+    from ..stages.text_analysis import gopher_quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "word_count", "ok_word_count", "ok_mean_word_len",
+         "ok_symbol_ratio", "ok_stopwords", "keep"]
+    )
+
+
 def q_docs_vocab(sf_dir: str):
     """Vocabulary building: global token counts → top-20 by (count desc, token).
     Per-batch Arrow combiner (local token counts) → hash-aggregate groupby(token)
@@ -395,6 +408,41 @@ SELECT o_orderkey, o_custkey, o_totalprice, rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders) WHERE rank <= 2""",
+    "docs_gopher": """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(words) AS BIGINT) AS word_count,
+         list_sum(list_transform(words, x -> strlen(x))) * 1.0
+             / greatest(len(words), 1) AS mean_len,
+         (length(text) - length(replace(text, '#', ''))) AS hashes,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
+         (CAST(regexp_matches(lower(text), '\\bthe\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bbe\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bto\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bof\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\band\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bthat\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bhave\\b') AS INT)
+          + CAST(regexp_matches(lower(text), '\\bwith\\b') AS INT)) AS stop_hits
+  FROM w
+)
+SELECT doc_id, word_count,
+       (word_count >= 50 AND word_count <= 100000) AS ok_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+       (hashes * 1.0 / greatest(word_count, 1) <= 0.1
+        AND ellipses * 1.0 / greatest(word_count, 1) <= 0.1) AS ok_symbol_ratio,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((word_count >= 50 AND word_count <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (hashes * 1.0 / greatest(word_count, 1) <= 0.1)
+        AND (ellipses * 1.0 / greatest(word_count, 1) <= 0.1)
+        AND (stop_hits >= 2)) AS keep
+FROM m""",
     "docs_vocab": """
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -452,6 +500,7 @@ QUERIES3 = {
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
     "docs_vocab": q_docs_vocab,
+    "docs_gopher": q_docs_gopher,
     "docs_split": q_docs_split,
     "audio_features": q_audio_features,
     "image_thumbs": q_image_thumbs,

@@ -45,6 +45,80 @@ def token_count_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return t.append_column("n_tokens", pa.array(nonempty, pa.int64()))
 
 
+# Gopher-style document quality rules (published heuristics from Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", appendix A1.1 — word-count bounds, mean
+# word length bounds, symbol-to-word ratios, and stop-word evidence). Thresholds
+# below follow the paper; the operator emits the per-rule flags AND the combined
+# keep decision so downstream filtering stays explainable.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_HASH_RATIO = 0.1  # '#' symbols per word
+GOPHER_MAX_ELLIPSIS_RATIO = 0.1  # '...' per word
+GOPHER_MIN_STOPWORDS = 2  # distinct required stop words present
+GOPHER_STOP_EVIDENCE = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Vectorized Gopher quality rules: per-rule boolean flags + combined keep."""
+    import pyarrow.compute as pc
+
+    text = t[col]
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    values = flat.flatten()
+    lens = pc.binary_length(values).to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    n = len(t)
+    word_count = np.zeros(n, dtype=np.int64)
+    len_sum = np.zeros(n, dtype=np.int64)
+    nz = counts > 0
+    if nz.any() and len(lens):
+        starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]]).astype(np.int64)
+        word_count[nz] = np.add.reduceat(nonempty.astype(np.int64), starts)
+        len_sum[nz] = np.add.reduceat(lens * nonempty, starts)
+    mean_len = len_sum / np.maximum(word_count, 1)
+
+    def _count(pattern: str) -> np.ndarray:
+        return (
+            pc.count_substring(text, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    hashes = _count("#")
+    ellipses = _count("...")
+    wc_safe = np.maximum(word_count, 1)
+    lower = pc.utf8_lower(text)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    for w in GOPHER_STOP_EVIDENCE:
+        stop_hits += (
+            pc.match_substring_regex(lower, rf"\b{w}\b")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    ok_words = (word_count >= GOPHER_MIN_WORDS) & (word_count <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+    ok_hash = hashes / wc_safe <= GOPHER_MAX_HASH_RATIO
+    ok_ellipsis = ellipses / wc_safe <= GOPHER_MAX_ELLIPSIS_RATIO
+    ok_stop = stop_hits >= GOPHER_MIN_STOPWORDS
+    keep = ok_words & ok_mean & ok_hash & ok_ellipsis & ok_stop
+    out = t.append_column("word_count", pa.array(word_count, pa.int64()))
+    out = out.append_column("ok_word_count", pa.array(ok_words))
+    out = out.append_column("ok_mean_word_len", pa.array(ok_mean))
+    out = out.append_column("ok_symbol_ratio", pa.array(ok_hash & ok_ellipsis))
+    out = out.append_column("ok_stopwords", pa.array(ok_stop))
+    out = out.append_column("keep", pa.array(keep))
+    return out
+
+
 def quality_score_batch(t: pa.Table, col: str = "text") -> pa.Table:
     """Length / punctuation / stopword heuristics (round-6 ratios for the oracle)."""
     import pyarrow.compute as pc
