@@ -237,15 +237,28 @@ class _Interp:
                 return left > right
             return left >= right
         ls = _as_series(left, self.n)
-        if isinstance(op, ast.In):
-            return ls.isin(list(right)).to_numpy()
-        if isinstance(op, ast.NotIn):
-            return (~ls.isin(list(right))).to_numpy()
+        if isinstance(op, (ast.In, ast.NotIn)):
+            items = list(right)
+            if any(_is_vec(e) for e in items):
+                # membership against COLUMN elements (e.g. tool in [tool_name,
+                # 'bash']): elementwise equality per candidate, with the row
+                # interpreter's null-identity semantics (None in [None] → True)
+                acc = np.zeros(self.n, dtype=bool)
+                for e in items:
+                    es = _as_series(e, self.n)
+                    acc |= (ls == es).to_numpy() | (ls.isna() & es.isna()).to_numpy()
+                return acc if isinstance(op, ast.In) else ~acc
+            hit = ls.isin(items).to_numpy()
+            return hit if isinstance(op, ast.In) else ~hit
         rs = _as_series(right, self.n)
         if isinstance(op, ast.Eq):
-            return (ls == rs).to_numpy()
+            # null == null is TRUE (CEL semantics; the row interpreter's Python
+            # `None == None` agrees) — pandas alone would yield False
+            both_na = (ls.isna() & rs.isna()).to_numpy()
+            return (ls == rs).to_numpy() | both_na
         if isinstance(op, ast.NotEq):
-            return (ls != rs).to_numpy()
+            both_na = (ls.isna() & rs.isna()).to_numpy()
+            return (ls != rs).to_numpy() & ~both_na
         if isinstance(op, ast.Lt):
             return (ls < rs).to_numpy()
         if isinstance(op, ast.LtE):

@@ -188,3 +188,56 @@ def test_arrow_bool_plan_matches_numpy_path(sev, tool):
         fast = c.eval_bool_mask_table(batch, n)
         slow = c.eval_bool_mask(env, n)
         np.testing.assert_array_equal(fast, slow, err_msg=src)
+
+
+def _random_expr(rng, depth=0):
+    """Random CEL-lite expression over columns s1,s2 (str), i1 (int)."""
+    leaves = ["s1", "s2", "i1", "'lit'", "'x'", "7", "0", "''"]
+    if depth >= 2 or rng.random() < 0.35:
+        return leaves[rng.integers(0, len(leaves))]
+    kind = rng.integers(0, 7)
+    a = _random_expr(rng, depth + 1)
+    b = _random_expr(rng, depth + 1)
+    if kind == 0:
+        return f"({a}) == ({b})"
+    if kind == 1:
+        return f"({a}) != ({b})"
+    if kind == 2:
+        return f"({a}) if ({_random_expr(rng, depth + 1)}) == ({a}) else ({b})"
+    if kind == 3:
+        return f"coalesce({a}, {b})"
+    if kind == 4:
+        return f"lower(string({a}))"
+    if kind == 5:
+        return f"({a}) in [{a}, {b}]"
+    return f"string({a}) + string({b})"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 12))
+def test_vectorized_expr_matches_row_interpreter(seed, n):
+    """The vectorized interpreter and the per-row fallback must agree on values
+    AND per-row error masks for random expressions over mixed data with nulls."""
+    rng = np.random.default_rng(seed)
+    env = {
+        "s1": np.array(
+            [None if rng.random() < 0.2 else rng.choice(["lit", "x", "", "abc"]) for _ in range(n)],
+            dtype=object,
+        ),
+        "s2": np.array(
+            [None if rng.random() < 0.2 else rng.choice(["x", "y"]) for _ in range(n)],
+            dtype=object,
+        ),
+        "i1": np.array([int(v) for v in rng.integers(0, 9, n)], dtype=object),
+    }
+    src = _random_expr(rng)
+    try:
+        c = compile_expr(src, "any")
+    except Exception:
+        return  # grammar produced something the compiler rejects — fine
+    fast_vals, fast_errs, _ = c.eval_batch(dict(env), n)
+    slow_vals, slow_errs, _ = c._eval_rows(dict(env), n)
+    np.testing.assert_array_equal(fast_errs, slow_errs, err_msg=src)
+    for i in range(n):
+        if not fast_errs[i]:
+            assert str(fast_vals[i]) == str(slow_vals[i]), (src, i, fast_vals[i], slow_vals[i])
