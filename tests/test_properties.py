@@ -195,7 +195,7 @@ def _random_expr(rng, depth=0):
     leaves = ["s1", "s2", "i1", "'lit'", "'x'", "7", "0", "''"]
     if depth >= 2 or rng.random() < 0.35:
         return leaves[rng.integers(0, len(leaves))]
-    kind = rng.integers(0, 7)
+    kind = rng.integers(0, 8)
     a = _random_expr(rng, depth + 1)
     b = _random_expr(rng, depth + 1)
     if kind == 0:
@@ -210,6 +210,10 @@ def _random_expr(rng, depth=0):
         return f"lower(string({a}))"
     if kind == 5:
         return f"({a}) in [{a}, {b}]"
+    if kind == 6 and rng.random() < 0.5:
+        return f"(i1) < ({rng.integers(0, 9)})"
+    if kind == 6:
+        return f"(i1) + ({rng.integers(0, 9)})"
     return f"string({a}) + string({b})"
 
 
