@@ -300,7 +300,7 @@ def _random_rules(rng):
     return rules
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
+@pytest.mark.parametrize("seed", list(range(1, 17)))
 def test_router_matches_naive_reference(seed):
     rng = np.random.default_rng(seed)
     sevs = np.array(["INFO", "WARN", "ERROR", "DEBUG"])
