@@ -16,6 +16,13 @@ import time
 import duckdb
 import pandas as pd
 
+# `python scripts/sweep_oracles.py` puts scripts/ (not the repo root) on
+# sys.path — the driver contract and the package live at the root
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+os.chdir(_ROOT)  # Ray workers resolve the package via cwd
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
