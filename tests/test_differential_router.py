@@ -229,11 +229,19 @@ def _random_rules(rng):
         )
         signal = rng.choice(["LOGS", "METRICS"])
         if kind == 4:
+            rel_vars = (
+                {"sig": "coalesce(tool_sig, 'none')"} if rng.random() < 0.4 else {}
+            )
+            src_expr = (
+                "'urn:c/' + conv_id + '/' + vars.sig" if (rel_vars and rng.random() < 0.5)
+                else "'urn:c/' + conv_id"
+            )
             rules.append(
                 RelationRule(
                     identifier=f"rel-{i}", sink=f"s{i % 3}", signal=signal,
                     resource_condition=rcond, condition=cond, action=action,
-                    source_id_expr="'urn:c/' + conv_id",
+                    vars=rel_vars,
+                    source_id_expr=src_expr,
                     target_id_expr="'urn:t/' + tool",
                     type_name_expr="'uses'",
                     dependency_type_expr=rng.choice(
