@@ -418,9 +418,11 @@ routes_full AS (
          NULL, 'uses', NULL, NULL, conv_id, turn_idx
   FROM parsed WHERE tool <> ''
   UNION ALL
+  -- DELETE ships identity only (handleComponentDelete, mapping_handler.go:226-265):
+  -- type_name is NULL, shrinking the metered row by length('turn').
   SELECT 'urn:mapping:session-delete', 'DELETE',
          'urn:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
-         NULL, 'turn', NULL, text, conv_id, turn_idx
+         NULL, CAST(NULL AS VARCHAR), NULL, text, conv_id, turn_idx
   FROM parsed WHERE severity = 'UNKNOWN'
   UNION ALL
   SELECT 'urn:mapping:bad-required', 'CREATE',

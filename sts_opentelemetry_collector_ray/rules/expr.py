@@ -443,6 +443,10 @@ class CompiledExpr:
             ):
                 raise ExprError(f"unknown function in {self.source!r}")
         self._tree = tree
+        # Lazy-ternary flag: 'x if cond else missing_col' can still succeed
+        # per-row on the x branch, so the missing-column short-circuit in
+        # eval_batch is only sound when the AST has no conditional.
+        self._has_ifexp = any(isinstance(n, ast.IfExp) for n in ast.walk(tree))
         self.refs = {
             n.id
             for n in ast.walk(tree)
@@ -454,6 +458,43 @@ class CompiledExpr:
         if self.expected == "string" and isinstance(tree.body, ast.Constant):
             if not isinstance(tree.body.value, str):
                 raise ExprError(f"expression {self.source!r} is not a string")
+
+    def var_refs(self) -> "set[str] | None":
+        """Names of vars this expression references as ``vars.name`` /
+        ``vars['name']`` — the engine's CollectVarReferences (eval.go:15-32).
+        Returns None when a dynamic access defeats static analysis (callers
+        fall back to "all vars needed", like the reference's nil result)."""
+        if "vars" not in self.refs:
+            return set()
+        names: set[str] = set()
+        dynamic = False
+        for node in ast.walk(self._tree):
+            if isinstance(node, ast.Attribute) and (
+                isinstance(node.value, ast.Name) and node.value.id == "vars"
+            ):
+                names.add(node.attr)
+            elif isinstance(node, ast.Subscript) and (
+                isinstance(node.value, ast.Name) and node.value.id == "vars"
+            ):
+                if isinstance(node.slice, ast.Constant) and isinstance(
+                    node.slice.value, str
+                ):
+                    names.add(node.slice.value)
+                else:
+                    dynamic = True
+            elif isinstance(node, ast.Name) and node.id == "vars":
+                # bare `vars` passed to a function etc. — any var may be read
+                parent_handled = False
+                for p in ast.walk(self._tree):
+                    if (
+                        isinstance(p, (ast.Attribute, ast.Subscript))
+                        and p.value is node
+                    ):
+                        parent_handled = True
+                        break
+                if not parent_handled:
+                    dynamic = True
+        return None if dynamic else names
 
     def validate_columns(self, known: set[str]) -> None:
         """Bare-word check (expression_test.go:553-567): every referenced name must be
@@ -490,11 +531,13 @@ class CompiledExpr:
             return arr, np.zeros(n, dtype=bool), None
         except Exception:
             # a referenced column absent from the env fails EVERY row identically —
-            # short-circuit instead of the per-row fallback loop
+            # short-circuit instead of the per-row fallback loop. NOT sound for
+            # conditionals: CEL's lazy ternary lets rows on the taken branch
+            # succeed even when the other branch references a missing column.
             missing = [
                 c for c in self.refs if c != "vars" and c not in env
             ]
-            if missing:
+            if missing and not self._has_ifexp:
                 return (
                     np.full(n, None, dtype=object),
                     np.ones(n, dtype=bool),

@@ -146,14 +146,16 @@ def _encode_col(sub: np.ndarray) -> pa.Array:
         cache: dict = {}
         out = np.empty(len(sub), dtype=object)
         for i, v in enumerate(sub):
+            # cache.get must sit inside the guard too: a map whose VALUES are
+            # lists/nested dicts builds the sorted tuple fine (sorted compares
+            # keys only) but is unhashable at lookup time.
             try:
                 key = tuple(sorted(v.items())) if isinstance(v, dict) else v
+                hit = cache.get(key)
+                if hit is None:
+                    hit = cache[key] = _typed_repr(v)
             except TypeError:
-                out[i] = _typed_repr(v)
-                continue
-            hit = cache.get(key)
-            if hit is None:
-                hit = cache[key] = _typed_repr(v)
+                hit = _typed_repr(v)
             out[i] = hit
         return pa.array(out, pa.string())
     return pa.array([_typed_repr(v) for v in sub], pa.string())
@@ -213,6 +215,22 @@ class Router:
         # All columns a rule's expressions may touch (outputs + vars), for slicing
         # the per-rule sub-environment to just what is needed.
         self._env_cols: dict[str, set] = {}
+        # Vars the id expressions reference (CollectVarReferences, eval.go:15-32):
+        # only these stay strict for DELETE elements; None = dynamic access,
+        # fall back to "all vars needed" like the reference's nil result.
+        self._id_var_names: dict[str, set | None] = {}
+        for r in self.rules:
+            id_exprs = (
+                [r.source_id, r.target_id] if r.is_relation else [r.identifier]
+            )
+            names: set | None = set()
+            for e in id_exprs:
+                vr = e.var_refs()
+                if vr is None:
+                    names = None
+                    break
+                names |= vr
+            self._id_var_names[r.rule.identifier] = names
         for r in self.rules:
             cols = set(r.referenced_columns)
             for v in r.vars.values():
@@ -321,23 +339,33 @@ class Router:
                 else [rule.identifier]
             )
         )
-        need_vars = rule.vars and (
-            id_uses_vars or bool((action_arr != "DELETE").any())
-        )
+        # DELETE elements evaluate only identity: a failing var or field mapping
+        # on a DELETE element must not emit an error row unless the id exprs
+        # reference vars (eval.go:15-54 evaluates id-referenced vars only).
+        non_delete = action_arr != "DELETE"
+        need_vars = rule.vars and (id_uses_vars or bool(non_delete.any()))
         if need_vars:
+            id_var_names = self._id_var_names[rule.rule.identifier]
             var_vals: dict[str, np.ndarray] = {}
             for vname, vexpr in rule.vars.items():
                 vals, errs, msg = vexpr.eval_batch(sub_env, m)
                 var_vals[vname] = vals
+                # Per-var filtering (FilterVarsByName): a var the id exprs do
+                # not reference is never evaluated for a DELETE element, so its
+                # failure cannot error that element.
+                if id_var_names is not None and vname not in id_var_names:
+                    errs = errs & non_delete
                 newly = errs & ~err_mask
                 err_mask |= errs
                 err_msg[newly] = f"var {vname}: {msg}"
             sub_env = dict(sub_env)
             sub_env["vars"] = var_vals
 
-        def required(expr, label):
+        def required(expr, label, allowed=None):
             nonlocal err_mask, err_msg
             vals, errs, msg = expr.eval_batch(sub_env, m)
+            if allowed is not None:
+                errs = errs & allowed
             newly = errs & ~err_mask
             err_mask |= errs
             err_msg[newly] = f"{label}: {msg}"
@@ -351,18 +379,26 @@ class Router:
         if rule.is_relation:
             src = required(rule.source_id, "sourceId")
             tgt = required(rule.target_id, "targetId")
-            tname = required(rule.type_name, "typeName")
-            dep_raw = required(rule.dependency_type, "dependencyType")
+            # DELETE relations ship only sourceId-targetId (handleRelationDelete,
+            # mapping_handler.go:267-313): typeName / dependencyType are neither
+            # evaluated nor shipped for DELETE elements.
+            tname = required(rule.type_name, "typeName", allowed=non_delete)
+            dep_raw = required(rule.dependency_type, "dependencyType", allowed=non_delete)
             ok = ~err_mask
+            if not non_delete.all():
+                tname = np.where(non_delete, tname, None)
             ext = np.full(m, None, dtype=object)
             ext[ok] = np.char.add(
                 np.char.add(src[ok].astype(str), "-"), tgt[ok].astype(str)
             ).astype(object)
             dep = np.full(m, None, dtype=object)
-            if ok.any():
+            sel = ok & non_delete & np.array(
+                [v is not None for v in dep_raw], dtype=bool
+            )
+            if sel.any():
                 # normalize once per DISTINCT value (usually a constant expr)
-                uniq, inv = np.unique(dep_raw[ok].astype(str), return_inverse=True)
-                dep[ok] = np.array(
+                uniq, inv = np.unique(dep_raw[sel].astype(str), return_inverse=True)
+                dep[sel] = np.array(
                     [normalize_dependency(v) for v in uniq], dtype=object
                 )[inv]
             name_vals = np.full(m, None, dtype=object)
@@ -370,7 +406,10 @@ class Router:
             src_o, tgt_o = src, tgt
         else:
             ext = required(rule.identifier, "identifier")
-            tname = required(rule.type_name, "typeName")
+            # DELETE components ship only the identifier (handleComponentDelete,
+            # mapping_handler.go:226-265): typeName / name / tags / field outputs
+            # are neither evaluated nor shipped for DELETE elements.
+            tname = required(rule.type_name, "typeName", allowed=non_delete)
             if rule.name is not None:
                 # optional-lenient: errors yield null, no error row (mapping.go:348-359)
                 name_vals, name_errs, _ = rule.name.eval_batch(sub_env, m)
@@ -379,9 +418,20 @@ class Router:
                 name_vals = np.full(m, None, dtype=object)
             tags_vals = self._eval_tags(rule, sub_env, m)
             if rule.has_field_outputs:
+                def required_nd(expr, label, _nd=non_delete):
+                    return required(expr, label, allowed=_nd)
+
                 ids_vals, config_vals, status_vals, version_vals = (
-                    self._eval_field_outputs(rule, sub_env, m, ext, required)
+                    self._eval_field_outputs(rule, sub_env, m, ext, required_nd)
                 )
+            if not non_delete.all():
+                tname = np.where(non_delete, tname, None)
+                name_vals = np.where(non_delete, name_vals, None)
+                tags_vals = np.where(non_delete, tags_vals, None)
+                ids_vals = np.where(non_delete, ids_vals, None)
+                config_vals = np.where(non_delete, config_vals, None)
+                status_vals = np.where(non_delete, status_vals, None)
+                version_vals = np.where(non_delete, version_vals, None)
             src_o = np.full(m, None, dtype=object)
             tgt_o = np.full(m, None, dtype=object)
             dep = np.full(m, None, dtype=object)
@@ -504,8 +554,14 @@ class Router:
                 return out
             if req is not None:
                 vals = required(req, f"required.{label}")
+                # stringify like the optional path / toString (mapping.go:295-312):
+                # a non-string required value (e.g. an int column) must become its
+                # string form, not crash pa.array(..., pa.string()) later.
+                conv = np.array(
+                    [str(v) if v is not None else None for v in vals], dtype=object
+                )
                 has = np.array([v is not None for v in vals])
-                out[has] = vals[has]
+                out[has] = conv[has]
             if opt is not None:
                 vals, errs, _ = opt.eval_batch(sub_env, m)
                 fill = np.array(
@@ -536,16 +592,17 @@ class Router:
                 if errs[i] or not isinstance(vals[i], dict):
                     continue
                 try:
+                    # cache.get inside the guard: unhashable VALUES pass sorted()
+                    # (keys compare) but raise at hash time.
                     key = tuple(sorted(vals[i].items()))
+                    hit = cache.get(key)
+                    if hit is None:
+                        if len(cache) > 4096:  # bounded, like the reference's caches
+                            cache.clear()
+                        hit = rt.expand(vals[i])
+                        cache[key] = hit
                 except TypeError:  # nested/unhashable values: uncached path
-                    merged[i].update(rt.expand(vals[i]))
-                    continue
-                hit = cache.get(key)
-                if hit is None:
-                    if len(cache) > 4096:  # bounded, like the reference's caches
-                        cache.clear()
                     hit = rt.expand(vals[i])
-                    cache[key] = hit
                 merged[i].update(hit)
         for t in rule.tags:
             vals, errs, _ = t.expr.eval_batch(sub_env, m)
@@ -558,15 +615,14 @@ class Router:
         for i, d in enumerate(merged):
             try:
                 key = tuple(sorted(d.items()))
+                s = jcache.get(key)
+                if s is None:
+                    if len(jcache) > 4096:
+                        jcache.clear()
+                    s = canonical_json(d)
+                    jcache[key] = s
             except TypeError:
-                out[i] = canonical_json(d)
-                continue
-            s = jcache.get(key)
-            if s is None:
-                if len(jcache) > 4096:
-                    jcache.clear()
                 s = canonical_json(d)
-                jcache[key] = s
             out[i] = s
         return out
 

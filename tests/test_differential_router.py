@@ -67,9 +67,9 @@ def naive_apply(rule_obj, compiled, row):
         return None
     if act == "DELETE" and rule_obj.signal != "LOGS":
         return None
-    # vars: for DELETE, only evaluated when the id expressions reference them
-    # (eval.go:15-54 — DELETE messages carry only the identifier); a var that
-    # stays unevaluated makes vars-referencing OPTIONAL outputs lapse to null.
+    # vars: for DELETE, only id-referenced vars are evaluated (eval.go:15-54,
+    # CollectVarReferences + FilterVarsByName — DELETE messages carry only the
+    # identifier), so a failing non-id var never errors a DELETE element.
     row = dict(row)
     if rule_obj.vars:
         from sts_opentelemetry_collector_ray.rules.expr import compile_expr
@@ -79,15 +79,44 @@ def naive_apply(rule_obj, compiled, row):
             if isinstance(rule_obj, RelationRule)
             else [rule_obj.identifier_expr]
         )
-        id_uses_vars = any("vars" in compile_expr(s, "any").refs for s in id_srcs)
-        if act != "DELETE" or id_uses_vars:
-            vars_out = {}
-            for vn, vs in rule_obj.vars.items():
-                try:
-                    vars_out[vn] = _eval_row(vs, row)
-                except ValueError:
-                    return ("error", f"var {vn}")
-            row["vars"] = vars_out
+        id_var_names: set | None = set()
+        for s in id_srcs:
+            vr = compile_expr(s, "any").var_refs()
+            if vr is None:
+                id_var_names = None
+                break
+            id_var_names |= vr
+        vars_out = {}
+        for vn, vs in rule_obj.vars.items():
+            if act == "DELETE" and id_var_names is not None and vn not in id_var_names:
+                continue
+            try:
+                vars_out[vn] = _eval_row(vs, row)
+            except ValueError:
+                return ("error", f"var {vn}")
+        row["vars"] = vars_out
+    # DELETE ships ONLY the identity (handleComponentDelete /
+    # handleRelationDelete, mapping_handler.go:226-313): typeName, name, tags
+    # and field outputs are neither evaluated nor shipped.
+    if act == "DELETE":
+        base = {
+            "action": act, "type_name": None, "name": None, "tags": None,
+            "identifiers": None, "configuration": None, "status": None,
+            "version": None, "dependency_type": None,
+            "source_id": None, "target_id": None,
+        }
+        if isinstance(rule_obj, RelationRule):
+            try:
+                src = str(_eval_row(rule_obj.source_id_expr, row))
+                tgt = str(_eval_row(rule_obj.target_id_expr, row))
+            except ValueError:
+                return ("error", "required")
+            return {**base, "external_id": f"{src}-{tgt}", "source_id": src, "target_id": tgt}
+        try:
+            ext = str(_eval_row(rule_obj.identifier_expr, row))
+        except ValueError:
+            return ("error", "required")
+        return {**base, "external_id": ext}
     err = None
     if isinstance(rule_obj, RelationRule):
         try:
@@ -256,13 +285,9 @@ def _random_rules(rng):
                 if (name_expr == "vars.sig" or rng.random() < 0.3)
                 else {}
             )
-            # vars + COMPUTED action is excluded from the fuzz: the engine
-            # evaluates vars batch-wide when ANY row is non-DELETE (a documented
-            # batch-level approximation of the per-element var pruning), so the
-            # per-row naive reference legitimately diverges on name-from-vars
-            # for DELETE rows inside mixed batches.
-            if vars_ and action is not None and action not in ACTIONS:
-                action = rng.choice([None, "CREATE", "DELETE"])
+            # vars + COMPUTED action is in scope: the engine evaluates vars
+            # batch-wide but masks errors/outputs per element, matching the
+            # reference's per-element DELETE pruning (round-3 fix).
             ident = rng.choice(
                 [
                     "'u:' + conv_id + '/' + string(turn_idx)",

@@ -127,3 +127,28 @@ def test_strings_extension():
     # usable inside conditions
     mask = compile_expr("indexOf(text, ',') >= 0", "bool").eval_bool_mask(env, n)
     assert list(mask) == [False, True]
+
+
+def test_lazy_ternary_with_missing_column_branch():
+    """CEL's ternary is lazy: 'x if cond else missing_col' succeeds on rows
+    taking the x branch even when missing_col is absent from the env — the
+    missing-column short-circuit must not fire for conditional expressions
+    (round-3 ADVICE fix)."""
+    env, n = env_of(severity=["INFO", "WARN", "INFO"])
+    e = compile_expr("'ok' if severity == 'INFO' else missing_col")
+    vals, errs, _ = e.eval_batch(env, n)
+    assert list(errs) == [False, True, False]
+    assert vals[0] == "ok" and vals[2] == "ok"
+    # non-conditional missing column still short-circuits every row
+    e2 = compile_expr("'p:' + missing_col")
+    _, errs2, msg = e2.eval_batch(env, n)
+    assert errs2.all() and "missing_col" in msg
+
+
+def test_var_refs_static_analysis():
+    assert compile_expr("'a' + conv_id").var_refs() == set()
+    assert compile_expr("vars.sig + vars.other").var_refs() == {"sig", "other"}
+    assert compile_expr("vars['sig']").var_refs() == {"sig"}
+    assert compile_expr("coalesce(vars.a, 'x')").var_refs() == {"a"}
+    # dynamic access defeats analysis -> None (= all vars needed, eval.go:22-24)
+    assert compile_expr("vars[conv_id]").var_refs() is None

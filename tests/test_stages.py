@@ -525,3 +525,93 @@ def test_canonical_projection_semantics():
     assert canon({"v": [1.0]}) != canon({"v": [1]})
     # None distinct from empty string
     assert canon({"v": [None]}) != canon({"v": [""]})
+
+
+def test_route_required_version_nonstring_stringifies():
+    """A required-version expression yielding a non-string (e.g. an int column)
+    must stringify like the optional path / toString — not crash the batch UDF
+    at pa.array(..., pa.string()) (round-3 ADVICE fix)."""
+    rules = [
+        ComponentRule(
+            identifier="m-ver",
+            sink="s",
+            identifier_expr="'u:' + conv_id",
+            type_name_expr="'t'",
+            required_version="turn_idx",
+        ).compile()
+    ]
+    out = _routed([{"text": "[INFO] x", "turn_idx": 7}], rules).to_pylist()
+    assert len(out) == 1
+    assert out[0]["error"] is None
+    assert out[0]["version"] == "7"
+
+
+def test_route_delete_ships_identity_only():
+    """handleComponentDelete (mapping_handler.go:226-265): a DELETE element
+    evaluates only id-referenced vars + the identifier. Failing field mappings
+    or non-id vars error CREATE elements but never DELETE elements, and DELETE
+    rows carry null typeName/name/tags/field outputs."""
+    rules = [
+        ComponentRule(
+            identifier="m-mixed",
+            sink="s",
+            signal="LOGS",
+            action="'DELETE' if severity == 'UNKNOWN' else 'CREATE'",
+            vars={"v": "'p:' + missing_col"},  # fails every row it is evaluated on
+            identifier_expr="'u:' + conv_id + '/' + string(turn_idx)",
+            type_name_expr="'t'",
+            name_expr="role",
+            additional_identifiers=["'x' + missing_col"],  # required, fails
+        ).compile()
+    ]
+    out = _routed(
+        [
+            {"text": "no tokens", "conv_id": "c1", "turn_idx": 0},   # UNKNOWN -> DELETE
+            {"text": "[INFO] x", "conv_id": "c1", "turn_idx": 1},    # CREATE
+        ],
+        rules,
+    ).to_pylist()
+    by_turn = {r["turn_idx"]: r for r in out}
+    d, c = by_turn[0], by_turn[1]
+    assert d["action"] == "DELETE" and d["error"] is None
+    assert d["external_id"] == "u:c1/0"
+    for col in ("type_name", "name", "tags", "identifiers", "configuration",
+                "status", "version"):
+        assert d[col] is None, col
+    # the CREATE element still errors on the failing var (strict, eval.go:60-88)
+    assert c["error"] is not None and c["error"].startswith("var v")
+
+
+def test_route_delete_relation_ships_ids_only():
+    rules = [
+        RelationRule(
+            identifier="m-rel-del",
+            sink="s",
+            signal="LOGS",
+            action="'DELETE' if severity == 'UNKNOWN' else 'CREATE'",
+            source_id_expr="'s:' + conv_id",
+            target_id_expr="'t:' + conv_id",
+            type_name_expr="'uses' + missing_col",       # never evaluated on DELETE
+            dependency_type_expr="'weird' + missing_col",
+        ).compile()
+    ]
+    out = _routed([{"text": "no tokens", "conv_id": "c2"}], rules).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert r["action"] == "DELETE" and r["error"] is None
+    assert r["external_id"] == "s:c2-t:c2"
+    assert r["source_id"] == "s:c2" and r["target_id"] == "t:c2"
+    assert r["type_name"] is None and r["dependency_type"] is None
+
+
+def test_encode_col_nested_map_values_uncached_path():
+    """_encode_col's distinct-map memo: a map whose VALUES are lists/nested
+    dicts builds the sorted key tuple fine but is unhashable at cache lookup —
+    must fall through to the uncached encoding, not raise (round-3 ADVICE fix)."""
+    from sts_opentelemetry_collector_ray.stages.route import _encode_col, _typed_repr
+
+    sub = np.array(
+        [{"a": [1, 2]}, {"a": {"b": 1}}, {"a": "x"}, {"a": [1, 2]}], dtype=object
+    )
+    enc = _encode_col(sub).to_pylist()
+    assert enc == [_typed_repr(v) for v in sub]
