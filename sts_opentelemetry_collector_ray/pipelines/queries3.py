@@ -24,7 +24,12 @@ def q_metrics_dispatch(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
     return metrics_dispatch(ds).select_columns(
-        ["event_id", "model", "hist_bucket", "exp_bucket"]
+        [
+            "event_id", "model", "hist_bucket", "exp_bucket",
+            "count", "sum_val", "bucket_counts",
+            "scale", "zero_count", "pos_offset", "pos_bucket_counts",
+            "neg_offset", "neg_bucket_counts", "value_at_quantiles",
+        ]
     )
 
 
@@ -459,11 +464,40 @@ SELECT event_type,
 FROM events, (SELECT 0 AS i UNION ALL SELECT 1) shifts
 GROUP BY 1, 2""",
     "metrics_dispatch": f"""
-SELECT event_id,
-       {_model_case()} AS model,
-       CAST(len(list_filter([10.0, 50.0, 100.0, 500.0], b -> b < value)) AS INTEGER) AS hist_bucket,
-       CAST(CASE WHEN value > 0 THEN ceil(log2(value)) ELSE 0 END AS INTEGER) AS exp_bucket
-FROM events""",
+WITH m AS (
+  SELECT event_id, value, {_model_case()} AS model,
+         CAST(len(list_filter([10.0, 50.0, 100.0, 500.0], b -> b < value)) AS INTEGER) AS hist_bucket,
+         CAST(CASE WHEN value > 0 THEN ceil(log2(value)) ELSE 0 END AS INTEGER) AS exp_bucket
+  FROM events
+)
+SELECT event_id, model, hist_bucket, exp_bucket,
+       CAST(CASE WHEN model IN ('histogram','exp_histogram','summary')
+                 THEN 1 ELSE 0 END AS BIGINT) AS count,
+       CASE WHEN model IN ('histogram','exp_histogram','summary')
+            THEN value ELSE 0.0 END AS sum_val,
+       CASE WHEN model = 'histogram'
+            THEN '[' || array_to_string(list_transform(range(5),
+                 j -> CASE WHEN j = hist_bucket THEN '1' ELSE '0' END), ',') || ']'
+       END AS bucket_counts,
+       CAST(0 AS BIGINT) AS scale,
+       CAST(CASE WHEN model = 'exp_histogram' AND value = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS zero_count,
+       CAST(CASE WHEN model = 'exp_histogram' AND value > 0
+                 THEN exp_bucket ELSE 0 END AS BIGINT) AS pos_offset,
+       CASE WHEN model = 'exp_histogram'
+            THEN CASE WHEN value > 0 THEN '[1]' ELSE '[]' END
+       END AS pos_bucket_counts,
+       CAST(CASE WHEN model = 'exp_histogram' AND value < 0
+                 THEN ceil(log2(-value)) ELSE 0 END AS BIGINT) AS neg_offset,
+       CASE WHEN model = 'exp_histogram'
+            THEN CASE WHEN value < 0 THEN '[1]' ELSE '[]' END
+       END AS neg_bucket_counts,
+       CASE WHEN model = 'summary'
+            THEN '[{{"q":0.5,"v":' || printf('%.6f', round(value, 6))
+                 || '}},{{"q":0.9,"v":' || printf('%.6f', round(value, 6))
+                 || '}},{{"q":0.99,"v":' || printf('%.6f', round(value, 6)) || '}}]'
+       END AS value_at_quantiles
+FROM m""",
     "body_normalize": """
 SELECT event_id,
        'map' AS body_kind,

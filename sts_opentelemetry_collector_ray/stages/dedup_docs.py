@@ -479,15 +479,13 @@ def embedding_neardup_pairs(
         unit = mat / norms[:, None]
         sim = unit @ unit.T
         h = (ids % num_buckets).astype(np.int64)
-        out = []
         iu, ju = np.triu_indices(len(ids), k=1)
-        for i, j in zip(iu, ju):
-            hi, hj = sorted((h[i], h[j]))
-            if (hi, hj) != (gi, gj):
-                continue
-            if sim[i, j] >= threshold:
-                out.append((int(ids[i]), int(ids[j])))
-        return pd.DataFrame(out, columns=["a", "b"])
+        keep = (
+            (np.minimum(h[iu], h[ju]) == gi)
+            & (np.maximum(h[iu], h[ju]) == gj)
+            & (sim[iu, ju] >= threshold)
+        )
+        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep]})
 
     ex = ds.map_batches(explode, batch_format="pandas")
     return ex.groupby(["gi", "gj"]).map_groups(verify, batch_format="pandas")

@@ -13,9 +13,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-
-def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+from ..functions.vectors import stack_list_column as _stack
 
 
 def fit_pca(sample: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -42,9 +40,9 @@ def pca_project(
     ``sample_size`` rows (deterministic for a deterministic source order);
     components are broadcast once (`ray.put`), the projection is one per-batch
     matmul — no shuffle anywhere."""
-    sample_tbl = ds.limit(sample_size).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_tbl[vec_col]])
-    mean, comps = fit_pca(sample, k)
+    sample_refs = ds.limit(sample_size).to_arrow_refs()
+    sample_tbl = pa.concat_tables([ray.get(r) for r in sample_refs])
+    mean, comps = fit_pca(_stack(sample_tbl[vec_col]), k)
     ref = ray.put((mean, comps))
 
     def project(t: pa.Table) -> pa.Table:

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.vectors import stack_list_column, topk_partials
+
 
 def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
@@ -44,24 +46,16 @@ def brute_force_topk(
     def local_topk(t: pa.Table) -> pa.Table:
         qm, qids = ray.get(qref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
-        )
+        mat = stack_list_column(t[vec_col])  # one flatten+reshape, no row loop
         sims = _unit(mat) @ qm.T  # (n, q)
-        rows = {"query_id": [], "neighbor_id": [], "score": []}
-        take = min(k + (1 if exclude_self else 0), sims.shape[0])
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            part = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
-            for p in part:
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(ids[p]))
-                rows["score"].append(float(col[p]))
+        qid, nid, score = topk_partials(
+            sims, ids, qids, k + (1 if exclude_self else 0)
+        )
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_id": pa.array(qid, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "score": pa.array(score, pa.float64()),
             }
         )
 
@@ -119,10 +113,9 @@ def ivf_topk(
     3. merge per-batch partial top-k on the driver (n_queries × k rows).
 
     Recall < 1 by construction; `brute_force_topk` is the exact oracle."""
-    sample = ds.limit(train_sample).to_pandas()
-    train = _unit(
-        np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    )
+    sample = ds.limit(train_sample).to_arrow_refs()
+    sample_t = pa.concat_tables([ray.get(r) for r in sample])
+    train = _unit(stack_list_column(sample_t[vec_col]))
     centroids = _unit(_kmeans(train, num_centroids, seed=seed))
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     qc = (qmat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # per-query probe lists
@@ -135,35 +128,24 @@ def ivf_topk(
     def local(t: pa.Table) -> pa.Table:
         qm, qids, cents, want = ray.get(ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        mat = _unit(
-            np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
-        )
+        mat = _unit(stack_list_column(t[vec_col]))
         assign = (mat @ cents.T).argmax(axis=1)
-        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for c in np.unique(assign):
             qis = want.get(int(c))
             if not qis:
                 continue
             sel = assign == c
-            sub, sub_ids = mat[sel], ids[sel]
-            sims = sub @ qm[qis].T
-            take = min(k + 1, len(sub))
-            for ci, qi in enumerate(qis):
-                col = sims[:, ci]
-                part = (
-                    np.argpartition(-col, take - 1)[:take]
-                    if take < len(col)
-                    else np.arange(len(col))
-                )
-                for p in part:
-                    rows["query_id"].append(int(qids[qi]))
-                    rows["neighbor_id"].append(int(sub_ids[p]))
-                    rows["score"].append(float(col[p]))
+            sims = mat[sel] @ qm[qis].T
+            parts.append(topk_partials(sims, ids[sel], np.asarray(qids)[qis], k + 1))
+        qid = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        nid = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        sco = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_id": pa.array(qid, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "score": pa.array(sco, pa.float64()),
             }
         )
 
@@ -221,37 +203,24 @@ def lsh_topk(
     def local(t: pa.Table) -> pa.Table:
         qm, qids, want = ray.get(qref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
-        )
-        unit = _unit(mat)
+        unit = _unit(stack_list_column(t[vec_col]))
         buckets = bucket_of(unit)
-        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for b in np.unique(buckets):
             qis = want.get(int(b))
             if not qis:
                 continue
             sel = buckets == b
-            sub = unit[sel]
-            sub_ids = ids[sel]
-            sims = sub @ qm[qis].T
-            for ci, qi in enumerate(qis):
-                col = sims[:, ci]
-                take = min(k + 1, len(col))
-                part = (
-                    np.argpartition(-col, take - 1)[:take]
-                    if take < len(col)
-                    else np.arange(len(col))
-                )
-                for p in part:
-                    rows["query_id"].append(int(qids[qi]))
-                    rows["neighbor_id"].append(int(sub_ids[p]))
-                    rows["score"].append(float(col[p]))
+            sims = unit[sel] @ qm[qis].T
+            parts.append(topk_partials(sims, ids[sel], np.asarray(qids)[qis], k + 1))
+        qid = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        nid = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        sco = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_id": pa.array(qid, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "score": pa.array(sco, pa.float64()),
             }
         )
 

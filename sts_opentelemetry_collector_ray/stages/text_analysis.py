@@ -11,7 +11,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -119,8 +118,15 @@ def gopher_quality_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return out
 
 
+_STOPWORD_VALUE_SET = pa.array(sorted(STOPWORDS), pa.string())
+
+
 def quality_score_batch(t: pa.Table, col: str = "text") -> pa.Table:
-    """Length / punctuation / stopword heuristics (round-6 ratios for the oracle)."""
+    """Length / punctuation / stopword heuristics (round-6 ratios for the oracle).
+
+    Fully vectorized: Arrow split + `is_in` membership off the flattened token
+    values, per-row sums via one `np.add.reduceat` — the same kernel shape as
+    `gopher_quality_batch`; no per-row Python on the path."""
     import pyarrow.compute as pc
 
     text = t[col]
@@ -128,16 +134,34 @@ def quality_score_batch(t: pa.Table, col: str = "text") -> pa.Table:
     n_punct = pc.list_value_length(pc.split_pattern_regex(text, r"[.!?,;:]"))
     # number of punctuation chars = split parts - 1
     punct = pc.subtract(n_punct, 1)
-    s = pd.Series(text.to_numpy(zero_copy_only=False))
-    toks = s.str.lower().str.split()
-    n_tok = toks.map(len)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    values = flat.flatten()
+    counts = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # regex split keeps boundary empty strings; pandas .str.split() dropped
+    # them, so tokens = non-empty elements (matches the SQL list_filter oracle)
+    nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(values, value_set=_STOPWORD_VALUE_SET).to_numpy(
+        zero_copy_only=False
+    )
+    n = len(t)
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    nz = counts > 0
+    if nz.any() and len(values):
+        starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]]).astype(np.int64)
+        n_tok[nz] = np.add.reduceat(nonempty.astype(np.int64), starts)
+        n_stop[nz] = np.add.reduceat((is_stop & nonempty).astype(np.int64), starts)
     punct_ratio = np.round(
         punct.to_numpy(zero_copy_only=False)
         / np.maximum(1, n_chars.to_numpy(zero_copy_only=False)),
         6,
     )
-    stop_ratio = np.round(n_stop.to_numpy() / np.maximum(1, n_tok.to_numpy()), 6)
+    stop_ratio = np.round(n_stop / np.maximum(1, n_tok), 6)
     out = t.append_column("n_chars_actual", pc.cast(n_chars, pa.int64()))
     out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
     out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))

@@ -75,3 +75,54 @@ def test_urn_template_no_vars():
     t = UrnTemplate("urn:static")
     assert t.expand_row({}) == "urn:static"
     assert list(t.expand_columns({"x": np.array(["a"], dtype=object)})) == ["urn:static"]
+
+
+# ---------------------------------------------------------------------------
+# functions/vectors.py — zero-copy embedding ingestion + vectorized top-k emit
+# ---------------------------------------------------------------------------
+
+def test_stack_list_column_layouts():
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.functions.vectors import stack_list_column
+
+    mat = np.arange(12, dtype=np.float32).reshape(4, 3)
+    # variable-offset list<float> (the parquet read layout)
+    off = pa.array(np.arange(0, 15, 3, dtype=np.int32))
+    lst = pa.ListArray.from_arrays(off, pa.array(mat.ravel()))
+    assert np.array_equal(stack_list_column(lst), mat.astype(np.float64))
+    # fixed_size_list
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), 3)
+    assert np.array_equal(stack_list_column(fsl), mat.astype(np.float64))
+    # chunked
+    ch = pa.chunked_array([lst.slice(0, 2), lst.slice(2, 2)])
+    assert np.array_equal(stack_list_column(ch), mat.astype(np.float64))
+    # sliced (offsets no longer start at 0 — flatten() must honor the slice)
+    assert np.array_equal(stack_list_column(lst.slice(1, 2)), mat[1:3].astype(np.float64))
+    # ragged input fails loudly (no caller can use a non-rectangular batch)
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        stack_list_column(pa.chunked_array([ragged]))
+    # empty
+    assert stack_list_column(pa.array([], pa.list_(pa.float64()))).shape[0] == 0
+
+
+def test_topk_partials_matches_loop():
+    from sts_opentelemetry_collector_ray.functions.vectors import topk_partials
+
+    rng = np.random.default_rng(7)
+    sims = rng.standard_normal((20, 3))
+    ids = rng.permutation(20).astype(np.int64)
+    qids = np.array([100, 200, 300], dtype=np.int64)
+    for take in (5, 20, 25):
+        qid, nid, sco = topk_partials(sims, ids, qids, take)
+        eff = min(take, 20)
+        assert len(qid) == eff * 3
+        for qi in range(3):
+            got = {(int(a), float(c)) for a, b, c in zip(nid, qid, sco) if b == qids[qi]}
+            col = sims[:, qi]
+            order = np.argsort(-col)[:eff]
+            want = {(int(ids[p]), float(col[p])) for p in order}
+            assert got == want, (take, qi)
