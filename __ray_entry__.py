@@ -38,6 +38,6 @@ def oracle_sql() -> dict[str, str]:
     brute-force oracles live in tests/."""
     from sts_opentelemetry_collector_ray.pipelines.queries import ORACLES
     from sts_opentelemetry_collector_ray.pipelines.queries2 import ORACLES2
-    from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3, dynamic_oracles
 
-    return {**ORACLES, **ORACLES2, **ORACLES3}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **dynamic_oracles()}

@@ -4,7 +4,7 @@ runs every `__ray_entry__.queries()` entry and its `oracle_sql()` through DuckDB
 on the same parquet tables and requires EXACT dtype + value equality (the
 driver rounds floats to 6 decimals before hashing; this script does not).
 
-    python scripts/sweep_oracles.py [sf_dir]     # default /root/testdata/sf0.01
+    python scripts/sweep_oracles.py [sf_dir] [query ...]   # default sf0.01, all
 
 Prints one line per query and a final summary; exit code 1 on any mismatch.
 """
@@ -31,6 +31,8 @@ TABLES = [
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # dynamic oracles inline per-sf fit constants — bind them to the same sf
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf
     import ray
 
     if not ray.is_initialized():
@@ -51,6 +53,8 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, osql = em.queries(), em.oracle_sql()
+    if len(sys.argv) > 2:  # optional subset of query names
+        qs = {k: v for k, v in qs.items() if k in sys.argv[2:]}
     bad, n_ok, n_ro = [], 0, 0
     t_all = time.time()
     for name in sorted(qs):

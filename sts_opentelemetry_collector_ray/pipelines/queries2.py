@@ -199,13 +199,19 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (coarse k-means quantizer + nprobe lists;
-    rows-only — recall vs the exact baseline asserted in tests)."""
-    from ..stages.similarity import ivf_topk
+    """IVF-bucketed approximate top-10: inverted lists + nprobe probing with a
+    seeded data-independent quantizer (`seeded_centroids`) so the DuckDB oracle
+    can inline the centroid constants (the ann_lsh hyperplane trick) and replay
+    assign → nprobe → top-k exactly. The k-means-trained quantizer path is
+    covered by recall/determinism unit tests."""
+    from ..stages.similarity import ivf_topk, seeded_centroids
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q, qids = _load_queries(sf_dir)
-    return ivf_topk(ds, q, qids, k=10, num_centroids=16, nprobe=4)
+    return ivf_topk(
+        ds, q, qids, k=10, num_centroids=16, nprobe=4,
+        centroids=seeded_centroids(64, 16, seed=42),
+    )
 
 
 def q_emb_neardup(sf_dir: str):
@@ -686,6 +692,67 @@ FROM ranked WHERE rank <= {k}"""
 
 
 ORACLES2["ann_lsh"] = _ann_lsh_oracle()
+
+
+def _ann_ivf_oracle(
+    dim: int = 64, num_centroids: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """SQL replica of ivf_topk with the seeded quantizer: the unit-normalized
+    seed-42 centroid constants are inlined (exactly the doubles the engine
+    broadcasts — repr round-trips), corpus vectors assign to their argmax-dot
+    centroid (ties → LOWEST cid, numpy argmax), each query probes its top-nprobe
+    centroids (ties → HIGHEST cid: np.argsort is stable ascending and the
+    engine reverses the whole row), candidates rank by cosine with the engine's
+    (score desc, neighbor asc) tie-break."""
+    from ..stages.similarity import _unit, seeded_centroids
+
+    cents = _unit(seeded_centroids(dim, num_centroids, seed=42))
+    values = ",\n    ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cents[ci]) + "])"
+        for ci in range(num_centroids)
+    )
+    return f"""
+WITH cents(cid, c) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) t(cid, c)
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+qprobe AS (
+  SELECT query_id, qv, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(qv, c) DESC, cid DESC) AS pr
+  FROM q, cents
+),
+probes AS (SELECT query_id, qv, cid FROM qprobe WHERE pr <= {nprobe}),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, c) DESC, cid ASC) AS r
+  FROM corpus, cents
+),
+corpus_a AS (SELECT vec_id, v, cid FROM assign WHERE r = 1),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.v, p.qv) AS score
+  FROM corpus_a c JOIN probes p ON c.cid = p.cid
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+ORACLES2["ann_ivf"] = _ann_ivf_oracle()
 
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
 # driver testdata): the engine hashes shingles (FNV-64) but set sizes are

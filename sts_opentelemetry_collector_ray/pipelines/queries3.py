@@ -55,13 +55,26 @@ def q_docs_token_count_bpe(sf_dir: str):
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: synthesize binary payloads → actor-pool
     decode (deterministic fake kernel; the real decoder slot is marked with
-    strict=True → NotImplementedError) → typed feature columns. Rows-only check:
-    list<float> features aren't SQL-comparable."""
+    strict=True → NotImplementedError) → typed feature columns, flattened to
+    scalar ``feat_m`` columns. Oracled: the byte moments replay in SQL off
+    hex(encode(text)) (see ORACLES3)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
-    return decode_stage(media, concurrency=2).select_columns(
-        ["media_id", "media_type", "n_bytes", "features"]
-    )
+    decoded = decode_stage(media, concurrency=2)
+
+    def flat(t: pa.Table) -> pa.Table:
+        from ..functions.vectors import stack_list_column
+
+        f = stack_list_column(t["features"])
+        cols = {
+            "media_id": t["media_id"], "media_type": t["media_type"],
+            "n_bytes": t["n_bytes"],
+        }
+        for m in range(f.shape[1]):
+            cols[f"feat_{m + 1}"] = pa.array(f[:, m], pa.float64())
+        return pa.table(cols)
+
+    return decoded.map_batches(flat, batch_format="pyarrow")
 
 
 def q_events_sessionize(sf_dir: str):
@@ -133,14 +146,15 @@ def q_video_frames(sf_dir: str):
 def q_emb_pca(sf_dir: str):
     """PCA projection of the embeddings table to 8 dims: driver fit on a bounded
     sample, broadcast components, per-batch matmul projection (shuffle-free).
-    Rows-only (eigendecomposition isn't SQL-expressible; variance ordering and
-    reconstruction invariants are unit-tested)."""
+    Oracled via `_emb_pca_oracle` (dynamic_oracles): the seeded bounded-sample
+    fit makes mean/components constants for a given input, which the generated
+    SQL inlines to replay center → matmul → round-6 per output dim."""
     from ..stages.embeddings import pca_project
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return pca_project(ds, k=8)
+    return pca_project(ds, k=8, flat=True)
 
 
 def q_docs_join_emb(sf_dir: str):
@@ -546,3 +560,57 @@ QUERIES3 = {
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
 }
+
+
+# ---------------------------------------------------------------------------
+# Dynamic oracles — SQL generated at oracle_sql() call time because the inlined
+# constants derive from the INPUT TABLE (per scale factor), not just a seed.
+# The target sf comes from GRAFT_ORACLE_SF_DIR (default: the driver gate's
+# /root/testdata/sf0.01); tests/conftest.py points it at the test sf.
+# ---------------------------------------------------------------------------
+
+def _emb_pca_oracle(sf_dir: str, k: int = 8, sample_size: int = 2048) -> str:
+    """Replay of `pca_project(flat=True)`: re-run the engine's exact fit (same
+    file order, same numpy ops ⇒ identical float64 mean/components), inline the
+    constants (repr round-trips doubles), and replay center → per-dim dot →
+    round-6 in SQL. The eigendecomposition itself is verified by unit tests
+    (orthonormality, variance ordering); this oracle verifies the distributed
+    projection end-to-end against the constants the fit produced."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.vectors import stack_list_column
+    from ..stages.embeddings import fit_pca
+
+    t = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, sample_size)
+    mean, comps = fit_pca(stack_list_column(t["embedding"]), k)
+    mean_sql = "[" + ", ".join(repr(float(v)) for v in mean) + "]"
+    cols = ",\n       ".join(
+        f"round(list_dot_product(cv, ["
+        + ", ".join(repr(float(v)) for v in comps[:, j])
+        + f"]), 6) AS pca_{j}"
+        for j in range(k)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id,
+             list_transform(list_zip(v, {mean_sql}), p -> p[1] - p[2]) AS cv
+      FROM e)
+SELECT vec_id,
+       {cols}
+FROM c"""
+
+
+def dynamic_oracles() -> dict[str, str]:
+    """Oracles whose SQL depends on the input tables (fit constants inlined per
+    scale factor). Generated lazily so the env override is honored."""
+    import os
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out: dict[str, str] = {}
+    try:
+        out["emb_pca"] = _emb_pca_oracle(sf_dir)
+    except (OSError, FileNotFoundError):  # sf dir without embeddings: rows-only
+        pass
+    return out

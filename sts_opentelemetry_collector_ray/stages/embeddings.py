@@ -35,11 +35,16 @@ def pca_project(
     id_col: str = "vec_id",
     k: int = 8,
     sample_size: int = 2048,
+    flat: bool = False,
 ) -> "ray.data.Dataset":
     """Project the embedding column to k dims. Fit is driver-side on the first
     ``sample_size`` rows (deterministic for a deterministic source order);
     components are broadcast once (`ray.put`), the projection is one per-batch
-    matmul — no shuffle anywhere."""
+    matmul — no shuffle anywhere.
+
+    ``flat=True`` emits scalar float64 columns ``pca_0..pca_{k-1}`` instead of
+    one list column (the driver gate compares pandas frames, where scalar
+    columns sort/hash cleanly)."""
     sample_refs = ds.limit(sample_size).to_arrow_refs()
     sample_tbl = pa.concat_tables([ray.get(r) for r in sample_refs])
     mean, comps = fit_pca(_stack(sample_tbl[vec_col]), k)
@@ -49,6 +54,11 @@ def pca_project(
         m, w = ray.get(ref)
         x = _stack(t[vec_col])
         z = np.round((x - m[None, :]) @ w, 6)
+        if flat:
+            cols = {id_col: t[id_col]}
+            for j in range(z.shape[1]):
+                cols[f"pca_{j}"] = pa.array(z[:, j], pa.float64())
+            return pa.table(cols)
         return pa.table(
             {
                 id_col: t[id_col],

@@ -16,6 +16,14 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+def _round6_away(x):
+    """Round half-AWAY-from-zero at 6 decimals (DuckDB ROUND semantics).
+    Channel means/brightness are dyadic fractions (integer sums over
+    power-of-two-ish pixel counts), so exact .5 ties at the 6th decimal are
+    common — np.round's half-even flips them vs the SQL oracle."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -153,8 +161,8 @@ class ImageResizeActor:
                 .astype(np.uint8)
             )
             thumbs.append(pooled.tobytes())
-            means.append(np.round(img.reshape(-1, 3).mean(axis=0), 6).tolist())
-            stds.append(np.round(img.reshape(-1, 3).std(axis=0), 6).tolist())
+            means.append(_round6_away(img.reshape(-1, 3).mean(axis=0)).tolist())
+            stds.append(_round6_away(img.reshape(-1, 3).std(axis=0)).tolist())
         out = t.drop_columns(["payload"])
         out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
         out = out.append_column("thumb_w", pa.array(np.full(len(thumbs), self.out_w, dtype=np.int32)))
@@ -235,9 +243,9 @@ class VideoFrameSampleActor:
             keep = vid[:: self.stride]
             sampled.append(keep.tobytes())
             counts.append(len(keep))
-            bright.append(np.round(keep.mean(axis=(1, 2, 3)), 6).tolist())
+            bright.append(_round6_away(keep.mean(axis=(1, 2, 3))).tolist())
             deltas = np.abs(np.diff(vid.astype(np.int16), axis=0))
-            motion.append(float(np.round(deltas.mean(), 6)) if len(vid) > 1 else 0.0)
+            motion.append(float(_round6_away(deltas.mean())) if len(vid) > 1 else 0.0)
         out = t.drop_columns(["payload"])
         out = out.append_column("frames", pa.array(sampled, pa.binary()))
         out = out.append_column("n_sampled", pa.array(counts, pa.int32()))

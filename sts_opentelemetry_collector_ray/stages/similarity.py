@@ -91,6 +91,16 @@ def _kmeans(data: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.nda
     return centroids
 
 
+def seeded_centroids(dim: int, k: int, seed: int = 42) -> np.ndarray:
+    """Data-independent seeded Gaussian centroids (unit-normalized) — a coarse
+    quantizer whose constants can be inlined into a SQL oracle (the ann_lsh
+    hyperplane trick). k-means training (`_kmeans`) gives better lists on real
+    distributions but its centroids depend on the corpus, which a static oracle
+    string cannot replay across scale factors."""
+    rng = np.random.default_rng(seed)
+    return _unit(rng.standard_normal((k, dim)))
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -103,20 +113,26 @@ def ivf_topk(
     seed: int = 42,
     train_sample: int = 4096,
     exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k — the other scale path beside LSH:
 
-    1. train a coarse quantizer (seeded k-means) on a bounded driver-side sample;
+    1. coarse quantizer: explicit ``centroids`` if given (e.g.
+       `seeded_centroids` for SQL-replayable runs), else seeded k-means trained
+       on a bounded driver-side sample;
     2. broadcast the centroid matrix; each batch assigns its vectors to their
        nearest centroid (one matmul) and searches only vectors whose centroid is
        among each query's ``nprobe`` closest lists;
     3. merge per-batch partial top-k on the driver (n_queries × k rows).
 
     Recall < 1 by construction; `brute_force_topk` is the exact oracle."""
-    sample = ds.limit(train_sample).to_arrow_refs()
-    sample_t = pa.concat_tables([ray.get(r) for r in sample])
-    train = _unit(stack_list_column(sample_t[vec_col]))
-    centroids = _unit(_kmeans(train, num_centroids, seed=seed))
+    if centroids is None:
+        sample = ds.limit(train_sample).to_arrow_refs()
+        sample_t = pa.concat_tables([ray.get(r) for r in sample])
+        train = _unit(stack_list_column(sample_t[vec_col]))
+        centroids = _unit(_kmeans(train, num_centroids, seed=seed))
+    else:
+        centroids = _unit(np.asarray(centroids, dtype=np.float64))
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     qc = (qmat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # per-query probe lists
     wanted: dict[int, list[int]] = {}

@@ -6,6 +6,10 @@ import ray
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Dynamic oracles (queries3.dynamic_oracles) inline fit constants derived from
+# the input tables; point them at the sf the tests read (driver default: sf0.01).
+os.environ["GRAFT_ORACLE_SF_DIR"] = "/root/testdata/sf0.001"
+
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
