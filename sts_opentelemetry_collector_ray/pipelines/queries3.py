@@ -18,6 +18,27 @@ from ..stages.text_analysis import STOPWORDS  # noqa: F401  (shared surface)
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _flatten_list_col(
+    t: pa.Table,
+    col: str,
+    prefix: str,
+    names: tuple[str, ...] | None = None,
+    base: int = 1,
+) -> pa.Table:
+    """Replace a fixed-width list<float64> column with scalar float64 columns
+    ``{prefix}{name}`` — the driver gate compares pandas frames, where scalar
+    columns sort/hash cleanly and list columns don't."""
+    from ..functions.vectors import stack_list_column
+
+    m = stack_list_column(t[col])
+    idx = t.schema.get_field_index(col)
+    t = t.remove_column(idx)
+    for j in range(m.shape[1]):
+        suffix = names[j] if names is not None else str(base + j)
+        t = t.append_column(f"{prefix}{suffix}", pa.array(m[:, j], pa.float64()))
+    return t
+
+
 def q_metrics_dispatch(sf_dir: str):
     """K4: one typed model per datapoint + per-model derived buckets."""
     ds = ray.data.read_parquet(
@@ -61,20 +82,13 @@ def q_media_features(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
     decoded = decode_stage(media, concurrency=2)
-
-    def flat(t: pa.Table) -> pa.Table:
-        from ..functions.vectors import stack_list_column
-
-        f = stack_list_column(t["features"])
-        cols = {
-            "media_id": t["media_id"], "media_type": t["media_type"],
-            "n_bytes": t["n_bytes"],
-        }
-        for m in range(f.shape[1]):
-            cols[f"feat_{m + 1}"] = pa.array(f[:, m], pa.float64())
-        return pa.table(cols)
-
-    return decoded.map_batches(flat, batch_format="pyarrow")
+    return decoded.map_batches(
+        lambda t: _flatten_list_col(
+            t.select(["media_id", "media_type", "n_bytes", "features"]),
+            "features", "feat_",
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_events_sessionize(sf_dir: str):
@@ -106,40 +120,61 @@ def q_neardup_components(sf_dir: str):
 def q_audio_features(sf_dir: str):
     """REAL audio path (no stub): deterministic PCM clips keyed by doc_id →
     actor-pool decode (np.frombuffer) + DSP features (RMS / zero-crossing rate /
-    spectral centroid / FFT band energies, one batched rfft per batch). Rows-only
-    (FFT isn't SQL-expressible); DSP invariants are unit-tested."""
+    spectral centroid / FFT band energies, one batched rfft per batch), band
+    energies flattened to scalar columns. Oracled: payloads depend only on
+    doc_id % 40, so the oracle inlines the 40 per-class feature rows computed
+    by the same DSP kernel and joins them back (see `_audio_features_oracle`)."""
     from ..stages.multimodal import audio_feature_stage, synthesize_audio_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = ds.map_batches(synthesize_audio_batch, batch_format="pyarrow")
-    return audio_feature_stage(media, concurrency=2).select_columns(
+    feats = audio_feature_stage(media, concurrency=2).select_columns(
         ["media_id", "rms", "zcr", "spectral_centroid_hz", "band_energy"]
+    )
+    return feats.map_batches(
+        lambda t: _flatten_list_col(t, "band_energy", "band_"),
+        batch_format="pyarrow",
     )
 
 
 def q_image_thumbs(sf_dir: str):
     """REAL image path (no stub): raw RGB24 bitmaps keyed by doc_id →
     actor-pool decode (frombuffer/reshape) + block-mean resize to 16×12 thumbs
-    + per-channel stats. Rows-only; pooling math is unit-tested."""
+    + per-channel stats (exact integer sums → mean/std). Oracled: the oracle
+    SQL re-synthesizes every pixel from the closed-form integer formulas and
+    re-aggregates (`_image_thumbs_oracle`); the thumb bitmap itself is
+    unit-tested (pooling math)."""
     from ..stages.multimodal import image_resize_stage, synthesize_image_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = ds.map_batches(synthesize_image_batch, batch_format="pyarrow")
-    return image_resize_stage(media, concurrency=2).select_columns(
+    stats = image_resize_stage(media, concurrency=2).select_columns(
         ["media_id", "thumb_w", "thumb_h", "channel_mean", "channel_std"]
     )
+
+    def flat(t: pa.Table) -> pa.Table:
+        t = _flatten_list_col(t, "channel_mean", "mean_", names=("r", "g", "b"))
+        return _flatten_list_col(t, "channel_std", "std_", names=("r", "g", "b"))
+
+    return stats.map_batches(flat, batch_format="pyarrow")
 
 
 def q_video_frames(sf_dir: str):
     """REAL video path (no stub): raw RGB frame stacks keyed by doc_id →
     actor-pool decode (frombuffer/reshape) + every-3rd-frame sampling +
-    brightness/motion scores. Rows-only; sampling math is unit-tested."""
+    brightness/motion scores (exact integer sums). Oracled: the oracle SQL
+    re-synthesizes every frame pixel from the closed-form integer formulas and
+    re-aggregates brightness + inter-frame motion (`_video_frames_oracle`)."""
     from ..stages.multimodal import synthesize_video_batch, video_sample_stage
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = ds.map_batches(synthesize_video_batch, batch_format="pyarrow")
-    return video_sample_stage(media, concurrency=2).select_columns(
+    sampled = video_sample_stage(media, concurrency=2).select_columns(
         ["media_id", "n_sampled", "frame_brightness", "motion_score"]
+    )
+    return sampled.map_batches(
+        lambda t: _flatten_list_col(t, "frame_brightness", "bright_", base=0),
+        batch_format="pyarrow",
     )
 
 
@@ -539,6 +574,170 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
 FROM sess GROUP BY user_id, session_idx""",
 }
+
+
+def _media_features_oracle(feature_dim: int = 8, cap: int = 4096) -> str:
+    """Independent SQL replay of `MediaDecodeActor._decode`: utf-8 bytes come
+    from hex(encode(text)) (capped at the payload truncation), byte moments are
+    EXACT HUGEINT sums, and the half-away round-9 is pure integer arithmetic —
+    `(2*s*10^9 + d) // (2*d)` — the same rational the engine computes, so the
+    doubles agree bit-for-bit regardless of float summation order."""
+    powers = "v AS v1, v*v AS v2, v*v*v AS v3, (v*v)*(v*v) AS v4"
+    sums = (
+        "sum(v1) AS s1, sum(v2) AS s2, sum(v3) AS s3, sum(v4) AS s4, "
+        "sum(v4*v1) AS s5, sum(v4*v2) AS s6, sum(v4*v3) AS s7, sum(v4*v4) AS s8"
+    )
+    feats = ",\n       ".join(
+        f"CAST((2*s{m}*1000000000 + {255**m}*n) // (2*{255**m}*n) AS DOUBLE)/1e9"
+        f" AS feat_{m}"
+        for m in range(1, feature_dim + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(hex(encode(text)), 1, {2 * cap}) AS hx FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+            + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT) AS v
+  FROM d, unnest(range(1, length(hx)//2 + 1)) AS t(i)
+),
+p AS (SELECT doc_id, {powers} FROM b),
+s AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS n, {sums} FROM p GROUP BY doc_id)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       CAST(n AS BIGINT) AS n_bytes,
+       {feats}
+FROM s"""
+
+
+def _audio_features_oracle() -> str:
+    """`synthesize_audio_batch` payloads depend only on doc_id % 40 (the
+    fundamental-frequency class), so the oracle runs the SAME DSP kernel once
+    per class representative (no Ray; FFT isn't SQL-expressible), inlines the
+    40 constant rows, and joins them back by class — verifying the distributed
+    path maps every document to its class features."""
+    from ..stages.multimodal import AudioFeatureActor, synthesize_audio_batch
+
+    rep = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64))})
+    cf = AudioFeatureActor()(synthesize_audio_batch(rep))
+    cb = np.array(cf["band_energy"].to_pylist())
+    rows = ",\n    ".join(
+        f"({i}, {cf['rms'][i].as_py()!r}, {cf['zcr'][i].as_py()!r}, "
+        f"{cf['spectral_centroid_hz'][i].as_py()!r}, "
+        + ", ".join(repr(float(cb[i, j])) for j in range(4))
+        + ")"
+        for i in range(40)
+    )
+    return f"""
+WITH c(k, rms, zcr, spectral_centroid_hz, band_1, band_2, band_3, band_4) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  )
+)
+SELECT d.doc_id AS media_id, c.rms, c.zcr, c.spectral_centroid_hz,
+       c.band_1, c.band_2, c.band_3, c.band_4
+FROM documents d JOIN c ON d.doc_id % 40 = c.k"""
+
+
+def _image_thumbs_oracle() -> str:
+    """Independent SQL replay of the image path: every pixel of
+    `synthesize_image_batch`'s bitmap is re-derived from the closed-form
+    integer formulas (x-gradient red with the keyed inverted rectangle,
+    y-gradient green, constant keyed blue), then per-channel mean/std come
+    from EXACT integer sums — matching `ImageResizeActor`'s integer-sum path
+    bit-for-bit (single correctly-rounded division / sqrt per value)."""
+    from ..stages.multimodal import IMG_H, IMG_W
+
+    chan = {"r": "sr", "g": "sg", "b": "sb"}
+    stats = ",\n       ".join(
+        f"floor(({s} / n) * 1e6 + 0.5) / 1e6 AS mean_{c},\n       "
+        f"floor((sqrt(CAST(n*{s}2 - {s}*{s} AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6"
+        f" AS std_{c}"
+        for c, s in chan.items()
+    )
+    return f"""
+WITH px AS (
+  SELECT d.doc_id,
+         CASE WHEN x.x >= d.doc_id % {IMG_W - 16}
+               AND x.x <  d.doc_id % {IMG_W - 16} + 16
+               AND y.y >= (d.doc_id * 7) % {IMG_H - 12}
+               AND y.y <  (d.doc_id * 7) % {IMG_H - 12} + 12
+              THEN 255 - (x.x * 255) // {IMG_W - 1}
+              ELSE (x.x * 255) // {IMG_W - 1} END AS r,
+         (y.y * 255) // {IMG_H - 1} AS g,
+         (d.doc_id * 37) % 256 AS b
+  FROM documents d,
+       unnest(range(0, {IMG_H})) AS y(y),
+       unnest(range(0, {IMG_W})) AS x(x)
+),
+s AS (
+  SELECT doc_id, count(*) AS n,
+         sum(r) AS sr, sum(r*r) AS sr2, sum(g) AS sg, sum(g*g) AS sg2,
+         sum(b) AS sb, sum(b*b) AS sb2
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS thumb_w, CAST(12 AS INT) AS thumb_h,
+       {stats}
+FROM s"""
+
+
+def _video_frames_oracle(stride: int = 3) -> str:
+    """Independent SQL replay of the video path: every frame pixel of
+    `synthesize_video_batch` is re-derived from the closed-form integer
+    formulas (per-frame shifted x-gradient red, y-gradient green, keyed
+    constant blue), sampled-frame brightness and inter-frame motion come from
+    EXACT integer sums over a self-join on consecutive frames — matching
+    `VideoFrameSampleActor`'s integer-sum path bit-for-bit."""
+    from ..stages.multimodal import VID_FRAMES, VID_H, VID_W
+
+    brights = ",\n         ".join(
+        f"max(CASE WHEN f = {j * stride} THEN"
+        f" floor((s * 1.0 / n) * 1e6 + 0.5) / 1e6 END) AS bright_{j}"
+        for j in range((VID_FRAMES + stride - 1) // stride)
+    )
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, f.f, y.y, x.x,
+         ((((x.x + (d.doc_id + 3*f.f) % {VID_W}) % {VID_W}) * 255)
+            // {VID_W - 1}) AS r,
+         (y.y * 255) // {VID_H - 1} AS g,
+         (d.doc_id * 11 + f.f * 29) % 256 AS b
+  FROM documents d,
+       unnest(range(0, {VID_FRAMES})) AS f(f),
+       unnest(range(0, {VID_H})) AS y(y),
+       unnest(range(0, {VID_W})) AS x(x)
+),
+fr AS (
+  SELECT doc_id, f, sum(r) + sum(g) + sum(b) AS s, count(*) * 3 AS n
+  FROM px GROUP BY doc_id, f
+),
+bright AS (
+  SELECT doc_id,
+         {brights}
+  FROM fr GROUP BY doc_id
+),
+mo AS (
+  SELECT a.doc_id,
+         sum(abs(b2.r - a.r) + abs(b2.g - a.g) + abs(b2.b - a.b)) AS ds,
+         count(*) * 3 AS dn
+  FROM px a JOIN px b2 ON a.doc_id = b2.doc_id AND b2.f = a.f + 1
+                        AND a.y = b2.y AND a.x = b2.x
+  GROUP BY a.doc_id
+)
+SELECT b.doc_id AS media_id,
+       CAST({(VID_FRAMES + stride - 1) // stride} AS INT) AS n_sampled,
+       b.bright_0, b.bright_1, b.bright_2,
+       floor((m.ds * 1.0 / m.dn) * 1e6 + 0.5) / 1e6 AS motion_score
+FROM bright b JOIN mo m ON b.doc_id = m.doc_id"""
+
+
+ORACLES3["media_features"] = _media_features_oracle()
+ORACLES3["audio_features"] = _audio_features_oracle()
+ORACLES3["image_thumbs"] = _image_thumbs_oracle()
+ORACLES3["video_frames"] = _video_frames_oracle()
 
 QUERIES3 = {
     "metrics_dispatch": q_metrics_dispatch,

@@ -79,13 +79,22 @@ class MediaDecodeActor:
                 "real image/audio/video decoding requires PIL/ffmpeg — not available "
                 "in this environment; deterministic fake used when strict=False"
             )
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-        if len(arr) == 0:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n = len(arr)
+        if n == 0:
             return np.zeros(self.feature_dim)
+        # Exact integer moments: mean((b/255)^m) = sum(b^m) / (255^m * n),
+        # rounded half-away at 9 decimals IN EXACT RATIONAL ARITHMETIC (via the
+        # 256-bin byte histogram + Python big ints), so the value is a clean
+        # <=1e9-denominator double the SQL oracle reproduces bit-for-bit —
+        # float summation order can never perturb it.
+        counts = np.bincount(arr, minlength=256).tolist()
         feats = []
         for m in range(1, self.feature_dim + 1):
-            feats.append(float(((arr / 255.0) ** m).mean()))
-        return np.round(np.array(feats), 9)
+            s = sum(c * v**m for v, c in enumerate(counts) if c)
+            d = 255**m * n
+            feats.append(((2 * s * 10**9 + d) // (2 * d)) / 1e9)
+        return np.array(feats)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
@@ -161,8 +170,17 @@ class ImageResizeActor:
                 .astype(np.uint8)
             )
             thumbs.append(pooled.tobytes())
-            means.append(_round6_away(img.reshape(-1, 3).mean(axis=0)).tolist())
-            stds.append(_round6_away(img.reshape(-1, 3).std(axis=0)).tolist())
+            # Channel stats via EXACT integer sums (pixel values are uint8):
+            # mean = s/n and std = sqrt(n*s2 - s^2)/n are then single
+            # correctly-rounded float ops over exactly-representable ints —
+            # bit-identical to a SQL replay, where a two-pass float np.std
+            # would differ in the last ulp.
+            v = img.reshape(-1, 3).astype(np.int64)
+            n_px = v.shape[0]
+            s = v.sum(axis=0)
+            s2 = (v * v).sum(axis=0)
+            means.append(_round6_away(s / n_px).tolist())
+            stds.append(_round6_away(np.sqrt(n_px * s2 - s * s) / n_px).tolist())
         out = t.drop_columns(["payload"])
         out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
         out = out.append_column("thumb_w", pa.array(np.full(len(thumbs), self.out_w, dtype=np.int32)))
@@ -243,9 +261,16 @@ class VideoFrameSampleActor:
             keep = vid[:: self.stride]
             sampled.append(keep.tobytes())
             counts.append(len(keep))
-            bright.append(_round6_away(keep.mean(axis=(1, 2, 3))).tolist())
-            deltas = np.abs(np.diff(vid.astype(np.int16), axis=0))
-            motion.append(float(_round6_away(deltas.mean())) if len(vid) > 1 else 0.0)
+            # Exact integer sums (cf. ImageResizeActor): one correctly-rounded
+            # division per value keeps the doubles bit-identical to a SQL replay.
+            px = keep.astype(np.int64).reshape(len(keep), -1)
+            bright.append(_round6_away(px.sum(axis=1) / px.shape[1]).tolist())
+            deltas = np.abs(np.diff(vid.astype(np.int64), axis=0))
+            motion.append(
+                float(_round6_away(int(deltas.sum()) / deltas.size))
+                if len(vid) > 1
+                else 0.0
+            )
         out = t.drop_columns(["payload"])
         out = out.append_column("frames", pa.array(sampled, pa.binary()))
         out = out.append_column("n_sampled", pa.array(counts, pa.int32()))
