@@ -439,6 +439,7 @@ sized AS (
   SELECT data_source,
          CASE WHEN external_id IS NULL THEN 'unknown'
               ELSE __SHARD__ END AS shard_id,
+         CAST(regexp_replace(conv_id, '[^0-9]', '', 'g') AS BIGINT) // __BUCKET__ AS bucket,
          action, conv_id, turn_idx,
          64 + length(coalesce(external_id, '')) + length(coalesce(name, ''))
             + length(coalesce(type_name, '')) + length(coalesce(tags, ''))
@@ -446,29 +447,29 @@ sized AS (
   FROM routes_full
 ),
 seq AS (
-  SELECT *, row_number() OVER (PARTITION BY data_source, shard_id
+  SELECT *, row_number() OVER (PARTITION BY data_source, shard_id, bucket
                                ORDER BY conv_id, turn_idx) AS rn
   FROM sized
 ),
 gstat AS (
-  SELECT data_source, shard_id, SUM(size) AS tot, COUNT(*) AS n,
+  SELECT data_source, shard_id, bucket, SUM(size) AS tot, COUNT(*) AS n,
          SUM(CASE WHEN action <> 'CREATE' THEN 1 ELSE 0 END) AS solos
-  FROM sized GROUP BY 1, 2
+  FROM sized GROUP BY 1, 2, 3
 ),
--- fast paths: all-CREATE groups under the cap pack to ONE envelope; all-solo
--- groups are one envelope per row; only the remaining groups need recursion
+-- fast paths: all-CREATE buckets under the cap pack to ONE envelope; all-solo
+-- buckets are one envelope per row; only the remaining buckets need recursion
 rseq AS (
-  SELECT s.* FROM seq s JOIN gstat g USING (data_source, shard_id)
+  SELECT s.* FROM seq s JOIN gstat g USING (data_source, shard_id, bucket)
   WHERE NOT (g.solos = 0 AND g.tot <= __CAP__) AND g.solos <> g.n
 ),
 packed AS (
-  SELECT data_source, shard_id, rn, conv_id, turn_idx, size,
+  SELECT data_source, shard_id, bucket, rn, conv_id, turn_idx, size,
          CAST(0 AS BIGINT) AS env,
          CAST(CASE WHEN action <> 'CREATE' THEN 0 ELSE size END AS BIGINT) AS acc,
          (action = 'CREATE') AS open
   FROM rseq WHERE rn = 1
   UNION ALL
-  SELECT r.data_source, r.shard_id, r.rn, r.conv_id, r.turn_idx, r.size,
+  SELECT r.data_source, r.shard_id, r.bucket, r.rn, r.conv_id, r.turn_idx, r.size,
          CASE WHEN r.action <> 'CREATE' THEN p.env + 1
               WHEN NOT p.open OR (p.acc + r.size > __CAP__ AND p.acc > 0) THEN p.env + 1
               ELSE p.env END,
@@ -478,31 +479,48 @@ packed AS (
          (r.action = 'CREATE')
   FROM rseq r JOIN packed p
     ON r.data_source = p.data_source AND r.shard_id = p.shard_id
-   AND r.rn = p.rn + 1
+   AND r.bucket = p.bucket AND r.rn = p.rn + 1
+),
+-- per-bucket local envelopes (recursive buckets + the two fast paths)
+envs AS (
+  SELECT data_source, shard_id, bucket, env,
+         COUNT(*) AS n_rows, CAST(SUM(size) AS BIGINT) AS bytes,
+         arg_min(conv_id, rn) AS first_conv, arg_min(turn_idx, rn) AS first_turn
+  FROM packed GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT s.data_source, s.shard_id, s.bucket, CAST(0 AS BIGINT),
+         COUNT(*), CAST(SUM(s.size) AS BIGINT),
+         arg_min(s.conv_id, s.rn), arg_min(s.turn_idx, s.rn)
+  FROM seq s JOIN gstat g USING (data_source, shard_id, bucket)
+  WHERE g.solos = 0 AND g.tot <= __CAP__
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT s.data_source, s.shard_id, s.bucket, CAST(s.rn - 1 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(s.size AS BIGINT), s.conv_id, s.turn_idx
+  FROM seq s JOIN gstat g USING (data_source, shard_id, bucket)
+  WHERE g.solos = g.n
+),
+-- bucket-count prefix sums make envelope_idx dense per (data_source, shard_id)
+offs AS (
+  SELECT data_source, shard_id, bucket,
+         CAST(SUM(ne) OVER (PARTITION BY data_source, shard_id ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) - ne AS BIGINT) AS off
+  FROM (SELECT data_source, shard_id, bucket, COUNT(*) AS ne
+        FROM envs GROUP BY 1, 2, 3) t
 )
-SELECT data_source, shard_id, env AS envelope_idx,
-       COUNT(*) AS n_rows, CAST(SUM(size) AS BIGINT) AS bytes,
-       arg_min(conv_id, rn) AS first_conv, arg_min(turn_idx, rn) AS first_turn
-FROM packed GROUP BY 1, 2, 3
-UNION ALL
-SELECT s.data_source, s.shard_id, CAST(0 AS BIGINT),
-       COUNT(*), CAST(SUM(s.size) AS BIGINT),
-       arg_min(s.conv_id, s.rn), arg_min(s.turn_idx, s.rn)
-FROM seq s JOIN gstat g USING (data_source, shard_id)
-WHERE g.solos = 0 AND g.tot <= __CAP__
-GROUP BY 1, 2
-UNION ALL
-SELECT s.data_source, s.shard_id, CAST(s.rn - 1 AS BIGINT),
-       CAST(1 AS BIGINT), CAST(s.size AS BIGINT), s.conv_id, s.turn_idx
-FROM seq s JOIN gstat g USING (data_source, shard_id)
-WHERE g.solos = g.n"""
+SELECT e.data_source, e.shard_id, e.env + o.off AS envelope_idx,
+       e.n_rows, e.bytes, e.first_conv, e.first_turn
+FROM envs e JOIN offs o USING (data_source, shard_id, bucket)"""
 
 
 def _pack_oracle() -> str:
     from .. import ENVELOPE_MAX_BYTES
+    from ..stages.pack import CONVS_PER_BUCKET
 
-    body = _PACK_ROUTES.replace("__SHARD__", _FNV_SHARD_PACK).replace(
-        "__CAP__", str(ENVELOPE_MAX_BYTES)
+    body = (
+        _PACK_ROUTES.replace("__SHARD__", _FNV_SHARD_PACK)
+        .replace("__CAP__", str(ENVELOPE_MAX_BYTES))
+        .replace("__BUCKET__", str(CONVS_PER_BUCKET))
     )
     sql = _PARSED_SQL + "," + body
     # the packed CTE is recursive — promote the whole WITH chain

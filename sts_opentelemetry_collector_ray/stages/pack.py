@@ -6,13 +6,21 @@ size estimates instead of re-serializing per merge (reference:
 connector/topologyconnector/internal/message_builder.go:162-257; the 768 KiB cap
 derives from Kafka's 1 MiB record limit, message_builder.go:162-171).
 
-Ray translation: ``groupby(data_source, shard_id)`` → greedy packing inside
-``map_groups`` over rows sorted in first-seen order (conv_id, turn_idx). Row size is
-estimated from the payload columns' UTF-8 lengths plus a fixed per-row overhead —
-the analogue of the reference's size-estimate accounting. Output is one row per
-envelope (manifest-style), not re-materialized envelope bytes: at 10^12 turns the
-envelopes go straight to the sink, so the operator's contract is the assignment
-(envelope_idx per row) and the per-envelope accounting.
+Ray translation, scale-shaped: a (data_source, shard_id) group is corpus-sized at
+100 TB, so packing runs per BOUNDED SUB-BUCKET — a contiguous conv_id range of
+``CONVS_PER_BUCKET`` conversations — and envelope indices are made global per
+(data_source, shard_id) afterwards with a prefix-sum offset over the per-bucket
+envelope counts (tiny: one count per bucket). Envelopes never span a bucket
+boundary; the reference itself packs per consume-batch (message_builder.go:
+builder flushed per ConsumeTopology call), so a deterministic range boundary is
+faithful. Inside a bucket the greedy scan is vectorized: one cumsum +
+searchsorted per EMITTED ENVELOPE (O(#envelopes log n), not O(rows) Python).
+
+Row size is estimated from the payload columns' UTF-8 lengths plus a fixed
+per-row overhead — the analogue of the reference's size-estimate accounting.
+Output is one row per envelope (manifest-style), not re-materialized envelope
+bytes: at 10^12 turns the envelopes go straight to the sink, so the operator's
+contract is the assignment and the per-envelope accounting.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from .. import ENVELOPE_MAX_BYTES
@@ -27,6 +36,11 @@ from .. import ENVELOPE_MAX_BYTES
 _ROW_OVERHEAD = 64  # fixed per-element envelope overhead estimate (bytes)
 
 _SIZE_COLS = ["external_id", "name", "type_name", "tags", "text"]
+
+# Conversations per packing sub-bucket. Bounds a map_groups group to
+# ~CONVS_PER_BUCKET × turns-per-conv rows regardless of corpus size; raise it
+# to amortize more coalescing per envelope sequence, lower it for heap room.
+CONVS_PER_BUCKET = 512
 
 
 def _row_sizes(df: pd.DataFrame) -> np.ndarray:
@@ -37,8 +51,30 @@ def _row_sizes(df: pd.DataFrame) -> np.ndarray:
     return size
 
 
+def _pack_run(sizes: np.ndarray, cap: int, env: np.ndarray, start_env: int) -> int:
+    """Greedy first-fit split of one all-CREATE run: each envelope is the longest
+    prefix whose size sum stays ≤ cap (an oversized single row still ships —
+    matching message_builder.go's estimate-then-send). One searchsorted on the
+    run's cumsum per emitted envelope. Writes env indices in place; returns the
+    next free envelope index."""
+    n = len(sizes)
+    c = np.cumsum(sizes)
+    a, e = 0, start_env
+    while a < n:
+        base = c[a - 1] if a else 0
+        b = int(np.searchsorted(c, base + cap, side="right"))
+        if b <= a:  # single row over cap → its own envelope
+            b = a + 1
+        env[a:b] = e
+        e += 1
+        a = b
+    return e
+
+
 def _pack_group(max_bytes: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if "_bucket" not in g.columns:  # direct (non-bucketed) use in tests
+            g = g.assign(_bucket=np.int64(0))
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         sizes = _row_sizes(g)
         # Only CREATE payloads coalesce; DELETE/Remove rows pass through as
@@ -50,28 +86,26 @@ def _pack_group(max_bytes: int):
             else np.zeros(len(g), dtype=bool)
         )
         env_idx = np.zeros(len(g), dtype=np.int64)
-        cur = -1
-        acc = 0
-        open_env = False
-        for i, s in enumerate(sizes):  # greedy split (tiny: runs per group)
-            if solo[i]:
-                cur += 1
-                env_idx[i] = cur
-                open_env = False
-                acc = 0
-                continue
-            if not open_env or (acc + s > max_bytes and acc > 0):
-                cur += 1
-                acc = 0
-                open_env = True
-            env_idx[i] = cur
-            acc += s
+        cur = 0
+        # segment the first-seen order at solo rows; pack each CREATE run with
+        # the searchsorted kernel, solos take one envelope each
+        bounds = np.flatnonzero(solo)
+        prev = 0
+        for s in bounds:
+            if s > prev:
+                cur = _pack_run(sizes[prev:s], max_bytes, env_idx[prev:s], cur)
+            env_idx[s] = cur
+            cur += 1
+            prev = s + 1
+        if prev < len(g):
+            cur = _pack_run(sizes[prev:], max_bytes, env_idx[prev:], cur)
         g = g.assign(_env=env_idx, _size=sizes)
         out = (
             g.groupby("_env", as_index=False)
             .agg(
                 data_source=("data_source", "first"),
                 shard_id=("shard_id", "first"),
+                bucket=("_bucket", "first"),
                 n_rows=("_env", "size"),
                 bytes=("_size", "sum"),
                 first_conv=("conv_id", "first"),
@@ -80,17 +114,68 @@ def _pack_group(max_bytes: int):
             .rename(columns={"_env": "envelope_idx"})
         )
         return out[
-            ["data_source", "shard_id", "envelope_idx", "n_rows", "bytes",
-             "first_conv", "first_turn"]
+            ["data_source", "shard_id", "bucket", "envelope_idx", "n_rows",
+             "bytes", "first_conv", "first_turn"]
         ]
 
     return fn
 
 
+def _add_bucket(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # conv_id is 'conv-%08d' — its digits give the contiguous range key
+    digits = pc.replace_substring_regex(t["conv_id"], r"\D+", "")
+    conv = pc.cast(
+        pc.if_else(pc.equal(digits, ""), pa.scalar("0"), digits), pa.int64()
+    )
+    return t.append_column(
+        "_bucket", pc.divide(conv, pa.scalar(CONVS_PER_BUCKET, pa.int64()))
+    )
+
+
 def pack_envelopes(
     routed: "ray.data.Dataset", max_bytes: int = ENVELOPE_MAX_BYTES
 ) -> "ray.data.Dataset":
-    """One row per packed envelope, keyed (data_source, shard_id, envelope_idx)."""
-    return routed.groupby(["data_source", "shard_id"]).map_groups(
-        _pack_group(max_bytes), batch_format="pandas"
+    """One row per packed envelope, keyed (data_source, shard_id, envelope_idx).
+
+    envelope_idx is globally dense per (data_source, shard_id): local per-bucket
+    indices plus a prefix-sum offset over bucket envelope counts. The offset
+    table is one int per non-empty bucket — |convs| / CONVS_PER_BUCKET entries —
+    which is driver-held and broadcast (`ray.put`); at 10^12 turns / 10^9 convs
+    that is ~2M entries, still megabytes."""
+    local = (
+        routed.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby(["data_source", "shard_id", "_bucket"])
+        .map_groups(_pack_group(max_bytes), batch_format="pandas")
     )
+    # Per-bucket envelope counts → per-bucket global offsets. One tiny row per
+    # bucket leaves the cluster; the envelope rows themselves never do.
+    counts = (
+        local.groupby(["data_source", "shard_id", "bucket"]).count().to_pandas()
+    )
+    counts = counts.sort_values(["data_source", "shard_id", "bucket"])
+    counts["off"] = counts.groupby(["data_source", "shard_id"])[
+        "count()"
+    ].cumsum() - counts["count()"]
+    offsets = {
+        (ds, sh, int(b)): int(o)
+        for ds, sh, b, o in zip(
+            counts["data_source"], counts["shard_id"], counts["bucket"],
+            counts["off"],
+        )
+    }
+    off_ref = ray.put(offsets)
+
+    def renumber(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        key = list(
+            zip(df["data_source"], df["shard_id"], df["bucket"].astype(int))
+        )
+        df = df.assign(
+            envelope_idx=df["envelope_idx"].to_numpy()
+            + np.fromiter((off[k] for k in key), dtype=np.int64, count=len(df))
+        )
+        return df.drop(columns=["bucket"])
+
+    return local.map_batches(renumber, batch_format="pandas")

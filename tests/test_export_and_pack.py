@@ -134,6 +134,49 @@ def test_ruleset_diff_tombstones():
     assert r3 == [] and a3 == [] and t3.num_rows == 0
 
 
+def test_pack_skewed_data_source_bounded_buckets():
+    """One fat data_source spanning many conv buckets: packing runs per bounded
+    sub-bucket, envelopes never span a bucket boundary, and the prefix-sum
+    renumbering yields one dense envelope_idx sequence per (ds, shard)."""
+    from sts_opentelemetry_collector_ray.stages.pack import CONVS_PER_BUCKET
+
+    n_convs, per_conv = 4 * CONVS_PER_BUCKET, 3  # 4 buckets, one hot source
+    conv = np.repeat(np.arange(n_convs), per_conv)
+    df = pd.DataFrame(
+        {
+            "data_source": "hot",
+            "shard_id": "0",
+            "external_id": [f"u:{c}:{t}" for c, t in zip(conv, range(len(conv)))],
+            "conv_id": [f"conv-{c:08d}" for c in conv],
+            "turn_idx": np.tile(np.arange(per_conv, dtype=np.int32), n_convs),
+            "name": "n",
+            "type_name": "t",
+            "tags": None,
+            "text": "x" * 200,
+            "action": "CREATE",
+        }
+    )
+    cap = 4096
+    out = (
+        pack_envelopes(ray.data.from_pandas(df), max_bytes=cap)
+        .to_pandas()
+        .sort_values("envelope_idx")
+        .reset_index(drop=True)
+    )
+    assert out["n_rows"].sum() == len(df)
+    assert (out["bytes"] <= cap).all()
+    # dense global numbering per (ds, shard)
+    assert out["envelope_idx"].tolist() == list(range(len(out)))
+    # envelopes never span a conv-bucket boundary: each envelope's rows fit in
+    # one bucket, so first_conv buckets are non-decreasing and all 4 appear
+    b = out["first_conv"].str[5:].astype(int) // CONVS_PER_BUCKET
+    assert (np.diff(b) >= 0).all() and set(b) == {0, 1, 2, 3}
+    # the boundary reset really happened: the first envelope of each bucket
+    # starts at that bucket's first conversation
+    firsts = out.loc[b.drop_duplicates().index, "first_conv"].tolist()
+    assert firsts == [f"conv-{k * CONVS_PER_BUCKET:08d}" for k in range(4)]
+
+
 def test_pack_removes_pass_through_uncoalesced():
     # DELETE rows are never merged into envelopes (grouping_test.go invariant)
     g = routed_frame()
