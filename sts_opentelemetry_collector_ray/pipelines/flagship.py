@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -102,10 +103,19 @@ def cluster_input_by_conv(
     over the clustered layout with ``num_partitions`` partitions makes the
     partition-scoped dedup GLOBALLY exact (no conversation straddles a
     partition) while keeping every partition-level property — checkpointing,
-    ordering, resume. One bounded exchange over the raw corpus; files are
-    written one per shard, named so `_chunk` maps shard ↔ partition 1:1."""
-    from ..functions.hashing import fnv1a32_arrow
+    ordering, resume.
+
+    Streaming write: one bounded exchange (sort by shard) co-locates each
+    shard's rows, then every BLOCK writes its own ``shard-<k>-part-*.parquet``
+    files — task memory stays block-sized no matter how big a shard is (the
+    old one-pandas-group-per-shard write held corpus/num_partitions rows in a
+    single task). `_chunk` groups the files back by the shard prefix, so the
+    shard ↔ flagship-partition mapping is unchanged."""
+    import uuid
+
     import numpy as np
+
+    from ..functions.hashing import fnv1a32_arrow
 
     ds = ray.data.read_parquet(sorted(glob.glob(os.path.join(input_dir, "*.parquet"))))
 
@@ -118,27 +128,46 @@ def cluster_input_by_conv(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_shard(g):
-        import pandas as pd
+    def write_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        sid = int(g["_shard"].iloc[0])
-        tbl = pa.Table.from_pandas(
-            g.drop(columns=["_shard"]), preserve_index=False
-        ).replace_schema_metadata(None)
-        pq.write_table(tbl, os.path.join(out_dir, f"shard-{sid:05d}.parquet"))
-        return pd.DataFrame({"shard": [sid], "rows": [len(g)]})
+        shards, rows = [], []
+        sid_col = t["_shard"]
+        for sid in pc.unique(sid_col).to_pylist():
+            part = t.filter(pc.equal(sid_col, sid)).drop_columns(["_shard"])
+            name = f"shard-{sid:05d}-part-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(
+                part.replace_schema_metadata(None), os.path.join(out_dir, name)
+            )
+            shards.append(sid)
+            rows.append(part.num_rows)
+        return pa.table(
+            {"shard": pa.array(shards, pa.int32()), "rows": pa.array(rows, pa.int64())}
+        )
 
     counts = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("_shard")
-        .map_groups(write_shard, batch_format="pandas")
+        .sort("_shard")  # co-locate shards; blocks stay bounded (vs map_groups)
+        .map_batches(write_block, batch_format="pyarrow")
         .to_pandas()
     )
-    assert len(counts) <= num_partitions
+    assert set(counts["shard"]) <= set(range(num_partitions))
     return out_dir
 
 
+_SHARD_FILE = re.compile(r"shard-(\d+)(?:-part-[0-9a-f]+)?\.parquet$")
+
+
 def _chunk(files: list[str], n_parts: int) -> list[list[str]]:
+    """Partition the input file list. A `cluster_input_by_conv` layout (every
+    file named ``shard-<k>[-part-*].parquet``) groups by shard id so whole
+    conversations stay in one partition; anything else chunks by position."""
+    matches = [_SHARD_FILE.search(os.path.basename(f)) for f in files]
+    if files and all(matches):
+        by_shard: dict[int, list[str]] = {}
+        for f, m in zip(files, matches):
+            by_shard.setdefault(int(m.group(1)), []).append(f)
+        return [by_shard[k] for k in sorted(by_shard)]
     n_parts = max(1, min(n_parts, len(files)))
     size = (len(files) + n_parts - 1) // n_parts
     return [files[i : i + size] for i in range(0, len(files), size)]
