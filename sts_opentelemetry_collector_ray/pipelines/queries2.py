@@ -120,6 +120,91 @@ def q_envelope_pack(sf_dir: str):
     return pack_envelopes(routed)
 
 
+def q_traces_flatten(sf_dir: str):
+    """K2 nested traces sink: turns → spans with list<struct> Events/Links
+    columns (stages/traces.py, mirroring exporter_traces.go:214-302), projected
+    to canonical JSON strings for the value-level oracle (the nested Arrow
+    schema itself is asserted in tests)."""
+    from ..stages.traces import traces_flatten_json, traces_table
+
+    return traces_flatten_json(traces_table(_parsed_transcripts(sf_dir)))
+
+
+def _attr_key(tok: str) -> str:
+    b = f"substr({tok}, 6)"
+    return (
+        f"CASE WHEN strpos({b}, '=') > 0"
+        f" THEN substr({b}, 1, strpos({b}, '=') - 1) ELSE {b} END"
+    )
+
+
+def _attr_val(tok: str) -> str:
+    b = f"substr({tok}, 6)"
+    return (
+        f"CASE WHEN strpos({b}, '=') > 0"
+        f" THEN substr({b}, strpos({b}, '=') + 1) ELSE '' END"
+    )
+
+
+def _traces_oracle() -> str:
+    """SQL replay of stages/traces.py::spans_batch + flatten_json_batch: same
+    span derivation, same attr-token events (split on ' ', 'attr.'-prefixed,
+    first-'=' key/value split), same canonical JSON layouts."""
+    k, v = _attr_key("at[j]"), _attr_val("at[j]")
+    ev = (
+        f"""'{{"attributes":{{"' || {k} || '":"' || {v} || '"}},"name":"' || {k}"""
+        """ || '","ts":' || CAST(epoch_us(ts) + j*1000 AS VARCHAR) || '}'"""
+    )
+    prev = (
+        """'{"attributes":{"link.type":"prev-turn"},"span_id":"' || conv_id ||"""
+        """ '/' || CAST(turn_idx - 1 AS VARCHAR) || '","trace_id":"' ||"""
+        """ conv_id || '","trace_state":""}'"""
+    )
+    root = (
+        """'{"attributes":{"link.type":"trace-root"},"span_id":"' || conv_id ||"""
+        """ '/0","trace_id":"' || conv_id || '","trace_state":""}'"""
+    )
+    return (
+        _PARSED_SQL
+        + f""",
+atoks AS (
+  SELECT *, list_filter(string_split(coalesce(text, ''), ' '),
+                        x -> starts_with(x, 'attr.')) AS at
+  FROM parsed
+)
+SELECT ts,
+       conv_id AS trace_id,
+       conv_id || '/' || CAST(turn_idx AS VARCHAR) AS span_id,
+       CASE WHEN turn_idx = 0 THEN ''
+            ELSE conv_id || '/' || CAST(turn_idx - 1 AS VARCHAR) END AS parent_span_id,
+       '' AS trace_state,
+       role AS span_name,
+       CASE WHEN role = 'tool' THEN 'SPAN_KIND_CLIENT'
+            WHEN role = 'user' THEN 'SPAN_KIND_SERVER'
+            ELSE 'SPAN_KIND_INTERNAL' END AS span_kind,
+       CASE WHEN coalesce(tool, '') = '' THEN 'conversation' ELSE tool END AS service_name,
+       'transcripts' AS scope_name,
+       '1.0' AS scope_version,
+       '{{"role":"' || role || '","severity":"' || severity || '"' ||
+         CASE WHEN coalesce(tool, '') = '' THEN '}}'
+              ELSE ',"tool":"' || tool || '"}}' END AS span_attributes,
+       CAST(length(coalesce(text, '')) * 1000 AS BIGINT) AS duration_ns,
+       CASE WHEN severity = 'ERROR' THEN 'STATUS_CODE_ERROR'
+            ELSE 'STATUS_CODE_UNSET' END AS status_code,
+       CASE WHEN severity = 'ERROR' THEN coalesce(text, '') ELSE '' END AS status_message,
+       CASE WHEN turn_idx = 0 THEN 'SPAN_PARENT_TYPE_ROOT'
+            WHEN role = 'user' THEN 'SPAN_PARENT_TYPE_EXTERNAL'
+            ELSE 'SPAN_PARENT_TYPE_INTERNAL' END AS span_parent_type,
+       '[' || coalesce(
+           array_to_string(list_transform(range(1, len(at) + 1), j -> {ev}), ','),
+           '') || ']' AS events_json,
+       CASE WHEN turn_idx = 0 THEN '[]'
+            WHEN turn_idx = 1 THEN '[' || {prev} || ']'
+            ELSE '[' || {prev} || ',' || {root} || ']' END AS links_json
+FROM atoks"""
+    )
+
+
 # -- documents family -------------------------------------------------------
 
 def q_docs_dedup_exact(sf_dir: str):
@@ -792,7 +877,10 @@ p AS (SELECT a.doc_id AS a, b.doc_id AS b,
 SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
 FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5"""
 
+ORACLES2["traces_flatten"] = _traces_oracle()
+
 QUERIES2 = {
+    "traces_flatten": q_traces_flatten,
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,
     "sg_red_dims": q_sg_red_dims,
