@@ -205,6 +205,78 @@ FROM atoks"""
     )
 
 
+def q_tail_sample(sf_dir: str):
+    """Tail-based sampling (the reference's tailsamplingprocessor BOM entry,
+    agent-otel-builder.yaml:44): whole-trace keep/drop from span evidence —
+    latency, numeric-attribute, probabilistic, and composite AND(status,
+    probabilistic) policies; first Sampled vote wins the ``sampled_by``
+    attribution. One bounded bucket exchange (stages/tailsampling.py)."""
+    from ..stages.tailsampling import (
+        AndPolicy,
+        LatencyPolicy,
+        NumericAttributePolicy,
+        ProbabilisticPolicy,
+        StatusCodePolicy,
+        tail_sample,
+    )
+
+    policies = [
+        LatencyPolicy("slow", threshold_ms=2_556_000_000),
+        NumericAttributePolicy("long", col="turn_idx", min_value=75),
+        ProbabilisticPolicy("prob", pct=15),
+        AndPolicy(
+            "err_prob",
+            sub=(
+                StatusCodePolicy("err", codes=("ERROR",)),
+                ProbabilisticPolicy("p25", pct=25),
+            ),
+        ),
+    ]
+    out = tail_sample(_parsed_transcripts(sf_dir), policies)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "severity", "ts", "sampled_by"]
+    )
+
+
+def _fnv_mod(col: str, m: int) -> str:
+    """fnv1a32(col) % m — byte-exact vs functions/hashing.py for ASCII input."""
+    return (
+        "list_reduce(list_prepend(2166136261::BIGINT, "
+        f"list_transform(string_split({col}, ''), c -> unicode(c)::BIGINT)), "
+        f"(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % {m}"
+    )
+
+
+def _tail_sample_oracle() -> str:
+    """SQL replay of stages/tailsampling.py: per-trace stats window, policy
+    votes in config order (first match attributes), traces with no vote drop
+    every span."""
+    return (
+        _PARSED_SQL
+        + f""",
+stats AS (
+  SELECT conv_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS dur_ms,
+         max(turn_idx) AS max_turn,
+         bool_or(severity = 'ERROR') AS has_err,
+         {_fnv_mod("conv_id", 100)} AS h
+  FROM parsed GROUP BY conv_id
+),
+dec AS (
+  SELECT conv_id,
+         CASE WHEN dur_ms >= 2556000000 THEN 'slow'
+              WHEN max_turn >= 75 THEN 'long'
+              WHEN h < 15 THEN 'prob'
+              WHEN has_err AND h < 25 THEN 'err_prob'
+              ELSE NULL END AS sampled_by
+  FROM stats
+)
+SELECT p.conv_id, p.turn_idx, p.role, p.tool, p.severity, p.ts, d.sampled_by
+FROM parsed p JOIN dec d USING (conv_id)
+WHERE d.sampled_by IS NOT NULL"""
+    )
+
+
 # -- documents family -------------------------------------------------------
 
 def q_docs_dedup_exact(sf_dir: str):
@@ -878,9 +950,11 @@ SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
 FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5"""
 
 ORACLES2["traces_flatten"] = _traces_oracle()
+ORACLES2["tail_sample"] = _tail_sample_oracle()
 
 QUERIES2 = {
     "traces_flatten": q_traces_flatten,
+    "tail_sample": q_tail_sample,
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,
     "sg_red_dims": q_sg_red_dims,
