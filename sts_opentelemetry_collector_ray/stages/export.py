@@ -35,17 +35,26 @@ def topology_collections(routed: "ray.data.Dataset", key_col: str = "role") -> "
     The reference groups metrics by sts_api_key and POSTs one JSON collection per
     key with components/relations sorted by ExternalId (topology.go:335-355); here
     the tenant key is a routed-row column and the payload is the canonical JSON of
-    the sorted collection (bounded: the per-key payload must fit one task — the
-    same constraint as the reference's per-request body)."""
+    the sorted collection. A per-batch DISTINCT combiner runs before the tenant
+    group, so the shuffle and the per-key task carry unique ids only — the
+    per-key memory bound is the payload itself, the same bound the reference's
+    per-request POST body imposes (a tenant whose id set doesn't fit one
+    collection doesn't fit one POST either)."""
+
+    def distinct_ids(t: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                key_col: t[key_col],
+                "external_id": t["external_id"],
+                "is_rel": pc.is_valid(t["source_id"].combine_chunks()),
+            }
+        ).filter(pc.is_valid(t["external_id"].combine_chunks()))
+        return sub.group_by([key_col, "external_id", "is_rel"]).aggregate([])
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         key = g[key_col].iloc[0]
-        comps = sorted(
-            g.loc[g["source_id"].isna() & g["external_id"].notna(), "external_id"].unique()
-        )
-        rels = sorted(
-            g.loc[g["source_id"].notna() & g["external_id"].notna(), "external_id"].unique()
-        )
+        comps = sorted(g.loc[~g["is_rel"], "external_id"].unique())
+        rels = sorted(g.loc[g["is_rel"], "external_id"].unique())
         payload = json.dumps(
             {"components": comps, "relations": rels}, separators=(",", ":")
         )
@@ -58,7 +67,11 @@ def topology_collections(routed: "ray.data.Dataset", key_col: str = "role") -> "
             }
         )
 
-    return routed.groupby(key_col).map_groups(build, batch_format="pandas")
+    return (
+        routed.map_batches(distinct_ids, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(build, batch_format="pandas")
+    )
 
 
 def resource_dedup(
