@@ -240,8 +240,9 @@ class Router:
     def __call__(self, batch: pa.Table) -> pa.Table:
         env, n = _batch_env(batch)
         pieces: list[pa.Table] = []
+        cond_cache: dict[str, np.ndarray] = {}  # full-width masks shared across rules
         for rule in self.rules:
-            t = self._apply_rule(rule, env, n, batch)
+            t = self._apply_rule(rule, env, n, batch, cond_cache)
             if t is not None and t.num_rows:
                 pieces.append(t)
         if not pieces:
@@ -250,16 +251,32 @@ class Router:
 
     # -- one rule over one batch ------------------------------------------
     def _apply_rule(
-        self, rule: CompiledRule, env: dict, n: int, batch: pa.Table | None = None
+        self,
+        rule: CompiledRule,
+        env: dict,
+        n: int,
+        batch: pa.Table | None = None,
+        cond_cache: dict[str, np.ndarray] | None = None,
     ) -> pa.Table | None:
         def cond_mask(expr) -> np.ndarray:
+            # Common-condition elimination: large rulesets share conditions
+            # (same severity/tool guards across many mappings); the first rule
+            # to evaluate one caches the full-width mask for the batch.
+            key = expr.source
+            if cond_cache is not None:
+                cached = cond_cache.get(key)
+                if cached is not None:
+                    return cached
             # Arrow-kernel fast path on the original columns; generic numpy
             # interpreter as fallback (identical null/error semantics)
+            m = None
             if batch is not None:
                 m = expr.eval_bool_mask_table(batch, n)
-                if m is not None:
-                    return m
-            return expr.eval_bool_mask(env, n)
+            if m is None:
+                m = expr.eval_bool_mask(env, n)
+            if cond_cache is not None:
+                cond_cache[key] = m
+            return m
 
         if rule.action == "CONTINUE":
             return None  # no terminal output at this level (mapping_handler.go:52-58)
