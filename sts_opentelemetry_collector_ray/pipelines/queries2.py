@@ -277,6 +277,47 @@ WHERE d.sampled_by IS NOT NULL"""
     )
 
 
+def q_text_redact(sf_dir: str):
+    """PII-style text redaction over transcript turns: ordered regex ruleset
+    (email / IPv4 / tool-call argument / digit run), per-category counts on the
+    original text, sequential rewrite (stages/redact.py). RE2 on both sides —
+    Arrow and DuckDB rewrite byte-identically."""
+    from ..stages.redact import redact_stage
+
+    out = redact_stage(_parsed_transcripts(sf_dir))
+    return out.select_columns(
+        ["conv_id", "turn_idx", "n_email", "n_ipv4", "n_call_arg", "n_number", "redacted"]
+    )
+
+
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_REDACT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_REDACT_CALL = r"call:([a-z]+)\(([^)]*)\)"
+_REDACT_NUM = "[0-9]+"
+
+
+def _text_redact_oracle() -> str:
+    t = "coalesce(text, '')"
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace({t}, "
+        f"'{_REDACT_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_REDACT_IPV4}', '<IP>', 'g'), "
+        f"'{_REDACT_CALL}', 'call:\\1(<ARG>)', 'g'), "
+        f"'{_REDACT_NUM}', '<NUM>', 'g')"
+    )
+    return (
+        _PARSED_SQL
+        + f"""
+SELECT conv_id, turn_idx,
+       len(regexp_extract_all({t}, '{_REDACT_EMAIL}')) AS n_email,
+       len(regexp_extract_all({t}, '{_REDACT_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all({t}, '{_REDACT_CALL}')) AS n_call_arg,
+       len(regexp_extract_all({t}, '{_REDACT_NUM}')) AS n_number,
+       {red} AS redacted
+FROM parsed"""
+    )
+
+
 # -- documents family -------------------------------------------------------
 
 def q_docs_dedup_exact(sf_dir: str):
@@ -951,10 +992,12 @@ FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5"""
 
 ORACLES2["traces_flatten"] = _traces_oracle()
 ORACLES2["tail_sample"] = _tail_sample_oracle()
+ORACLES2["text_redact"] = _text_redact_oracle()
 
 QUERIES2 = {
     "traces_flatten": q_traces_flatten,
     "tail_sample": q_tail_sample,
+    "text_redact": q_text_redact,
     "sg_edges": q_sg_edges,
     "sg_red": q_sg_red,
     "sg_red_dims": q_sg_red_dims,

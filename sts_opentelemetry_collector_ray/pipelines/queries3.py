@@ -739,7 +739,62 @@ ORACLES3["audio_features"] = _audio_features_oracle()
 ORACLES3["image_thumbs"] = _image_thumbs_oracle()
 ORACLES3["video_frames"] = _video_frames_oracle()
 
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document (dup-word mass, dominant
+    bigram coverage) — whole-batch Arrow group_by kernels, no per-doc Python
+    (stages/text_analysis.py::repetition_batch)."""
+    from ..stages.text_analysis import repetition_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "dup_word_frac", "top_2gram_count", "top_2gram_frac"]
+    )
+
+
+def q_docs_contamination(sf_dir: str):
+    """Benchmark-contamination scan: training docs sharing any word 5-gram with
+    the held-out probe split (fnv(doc_id)%20==0). Probe grams broadcast via
+    ray.put; the training side streams through one membership kernel — no
+    shuffle on the big side (stages/dedup_docs.py::contamination_check)."""
+    from ..stages.dedup_docs import contamination_check
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return contamination_check(ds)
+
+
+_FNV32_DOC20 = _FNV32_DOC.replace("% 100", "% 20")
+
+ORACLES3["docs_repetition"] = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS w FROM s),
+dis AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+               count(DISTINCT w) AS nd, count(*) AS nt
+        FROM tok GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+       FROM s WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id)
+SELECT d.doc_id, d.n_tokens,
+       floor((1.0 - nd * 1.0 / nt) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+       coalesce(mc, 0) AS top_2gram_count,
+       floor((2.0 * coalesce(mc, 0) / d.n_tokens) * 1e6 + 0.5) / 1e6 AS top_2gram_frac
+FROM dis d LEFT JOIN top USING (doc_id)"""
+
+ORACLES3["docs_contamination"] = f"""
+WITH f AS (SELECT doc_id, {_FNV32_DOC20} AS h, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, h,
+             unnest(list_transform(range(1, len(t) - 3), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      FROM f WHERE len(t) >= 5),
+p AS (SELECT DISTINCT gram FROM g WHERE h = 0)
+SELECT a.doc_id, count(DISTINCT a.gram) AS n_shared
+FROM g a JOIN p USING (gram)
+WHERE a.h <> 0 GROUP BY a.doc_id"""
+
 QUERIES3 = {
+    "docs_repetition": q_docs_repetition,
+    "docs_contamination": q_docs_contamination,
     "metrics_dispatch": q_metrics_dispatch,
     "body_normalize": q_body_normalize,
     "docs_token_count_bpe": q_docs_token_count_bpe,

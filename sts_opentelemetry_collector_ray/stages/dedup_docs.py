@@ -489,3 +489,86 @@ def embedding_neardup_pairs(
 
     ex = ds.map_batches(explode, batch_format="pandas")
     return ex.groupby(["gi", "gj"]).map_groups(verify, batch_format="pandas")
+
+
+def contamination_check(
+    ds: "ray.data.Dataset",
+    probe_mod: int = 20,
+    gram_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Benchmark-contamination scan: flag training docs sharing any word
+    ``gram_n``-gram with a held-out probe set.
+
+    The probe (test/benchmark) set is ``fnv1a32(doc_id) % probe_mod == 0`` —
+    deterministic and tiny by construction, which is the real-world shape: the
+    contamination reference (an eval benchmark) is always orders of magnitude
+    smaller than the training corpus. That asymmetry drives the design: the
+    probe n-gram set is aggregated once and broadcast via ``ray.put`` (the
+    small-side pattern — ST4); the 100 TB training side then streams through a
+    single ``map_batches`` doing one hash-set membership kernel per batch. No
+    shuffle touches the big side. Exact string grams (no hashing) so the DuckDB
+    oracle replays it verbatim.
+
+    Output: one row per contaminated non-probe doc — (doc_id, n_shared) where
+    n_shared counts its DISTINCT grams present in the probe set.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a32_arrow
+
+    def _grams(t: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """(flat gram strings, per-row gram counts, probe mask) for a batch."""
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        gcounts = np.maximum(counts - (gram_n - 1), 0)
+        n_flat = len(flat)
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ok = np.ones(max(n_flat - (gram_n - 1), 0), dtype=bool)
+        if len(ok):
+            ok = row_idx[: len(ok)] == row_idx[gram_n - 1 :]
+        parts = [flat.slice(i, max(n_flat - (gram_n - 1), 0)) for i in range(gram_n)]
+        sel = pa.array(ok)
+        joined = parts[0].filter(sel)
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p.filter(sel), " ")
+        ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+        probe = (fnv1a32_arrow(ids) % np.uint64(probe_mod)) == 0
+        return joined, gcounts, probe
+
+    def probe_grams(t: pa.Table) -> pa.Table:
+        joined, gcounts, probe = _grams(t)
+        keep = np.repeat(probe, gcounts)
+        u = pc.unique(joined.filter(pa.array(keep)))
+        return pa.table({"gram": u})
+
+    # the probe side is small by construction — a bounded driver materialize,
+    # then one broadcast object read by every training-side task
+    probe_tbl = (
+        ds.map_batches(probe_grams, batch_format="pyarrow")
+        .to_pandas()  # |probe grams| rows, not corpus rows
+    )
+    probe_set = ray.put(pa.array(pd.unique(probe_tbl["gram"]), pa.string()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        grams_ref = ray.get(probe_set)
+        joined, gcounts, probe = _grams(t)
+        row_idx = np.repeat(np.arange(len(gcounts), dtype=np.int64), gcounts)
+        hit = pc.is_in(joined, value_set=grams_ref).to_numpy(zero_copy_only=False)
+        # distinct shared grams per row: unique (row, gram) pairs among hits
+        sub = pa.table(
+            {"r": pa.array(row_idx[hit]), "g": joined.filter(pa.array(hit))}
+        )
+        d = sub.group_by(["r", "g"]).aggregate([]).group_by(["r"]).aggregate([("g", "count")])
+        n_shared = np.zeros(len(gcounts), dtype=np.int64)
+        if d.num_rows:
+            n_shared[d["r"].to_numpy()] = d["g_count"].to_numpy()
+        keep = (~probe) & (n_shared > 0)
+        return pa.table(
+            {id_col: t[id_col], "n_shared": pa.array(n_shared, pa.int64())}
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -245,3 +245,61 @@ def lang_id_stage(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dat
     return ds.map_batches(
         LangIdActor, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5
     )
+
+
+def repetition_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1's
+    "repetition" family re-expressed over word n-grams): per document,
+
+    - ``dup_word_frac``     — 1 − distinct/total words (repeated-token mass)
+    - ``top_2gram_count``   — occurrences of the most frequent word bigram
+    - ``top_2gram_frac``    — 2 · top_2gram_count / n_tokens (word coverage of
+      the dominant bigram; the count-based analogue of the paper's
+      top-2-gram character fraction)
+
+    Whole-batch kernels: one split, flat (row, token) / (row, bigram) Arrow
+    ``group_by`` counts, per-row maxima — no per-document Python. Scores use
+    the repo's half-away-from-zero 6-decimal rule so DuckDB ROUND replays
+    them exactly.
+    """
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(pc.fill_null(t[col], ""), " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    n = len(counts)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # distinct words per row: group_by (row, token) → group_by row
+    pairs = pa.table({"r": pa.array(row_idx), "w": flat})
+    d = pairs.group_by(["r", "w"]).aggregate([]).group_by(["r"]).aggregate([("w", "count")])
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_distinct[d["r"].to_numpy()] = d["w_count"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_frac = np.where(counts > 0, 1.0 - n_distinct / np.maximum(counts, 1), 0.0)
+
+    # bigrams: adjacent flat tokens within the same row
+    ok = row_idx[:-1] == row_idx[1:] if len(row_idx) > 1 else np.zeros(0, dtype=bool)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    if ok.any():
+        sel = pa.array(ok)
+        left = flat.slice(0, len(flat) - 1).filter(sel)
+        right = flat.slice(1).filter(sel)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        br = pa.array(row_idx[:-1][ok])
+        bp = pa.table({"r": br, "g": bg})
+        cnt = bp.group_by(["r", "g"]).aggregate([("g", "count")])
+        mx = cnt.group_by(["r"]).aggregate([("g_count", "max")])
+        top_cnt[mx["r"].to_numpy()] = mx["g_count_max"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        top_frac = np.where(counts > 0, 2.0 * top_cnt / np.maximum(counts, 1), 0.0)
+
+    out = t.append_column("n_tokens", pa.array(counts, pa.int64()))
+    out = out.append_column(
+        "dup_word_frac", pa.array(np.floor(dup_frac * 1e6 + 0.5) / 1e6, pa.float64())
+    )
+    out = out.append_column("top_2gram_count", pa.array(top_cnt, pa.int64()))
+    return out.append_column(
+        "top_2gram_frac", pa.array(np.floor(top_frac * 1e6 + 0.5) / 1e6, pa.float64())
+    )

@@ -1,0 +1,72 @@
+"""Round-3 text operators: repetition signals, contamination scan, redaction."""
+
+import numpy as np
+import pyarrow as pa
+
+from sts_opentelemetry_collector_ray.stages.redact import redact_batch
+from sts_opentelemetry_collector_ray.stages.text_analysis import repetition_batch
+
+
+def test_repetition_signals():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a b a b a", "x y z", "", "q q q q"],
+        }
+    )
+    out = repetition_batch(t)
+    assert out["n_tokens"].to_pylist() == [5, 3, 1, 4]
+    assert out["dup_word_frac"].to_pylist() == [0.6, 0.0, 0.0, 0.75]
+    # "a b" occurs twice in doc 1; overlapping runs can push frac past 1.0
+    assert out["top_2gram_count"].to_pylist() == [2, 1, 0, 3]
+    assert out["top_2gram_frac"].to_pylist() == [0.8, 0.666667, 0.0, 1.5]
+
+
+def test_redact_rules_sequential_and_counts_on_original():
+    t = pa.table(
+        {
+            "text": [
+                "ping a@b.co then call:search(secret 42) via 10.0.0.1 x2",
+                "nothing here",
+                None,
+            ]
+        }
+    )
+    out = redact_batch(t)
+    assert out["n_email"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [1, 0, 0]
+    assert out["n_call_arg"].to_pylist() == [1, 0, 0]
+    # counts measured on the ORIGINAL text: 42, the IP's digits, and x2
+    assert out["n_number"].to_pylist() == [6, 0, 0]
+    red = out["redacted"].to_pylist()
+    assert red[0] == "ping <EMAIL> then call:search(<ARG>) via <IP> x<NUM>"
+    assert red[1] == "nothing here"
+    assert red[2] == ""  # null text → empty, never null
+
+
+def test_contamination_broadcast_scan(ray_session):
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.functions.hashing import fnv1a32
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import contamination_check
+
+    # craft ids so at least one lands in the probe split (fnv % 5 == 0)
+    ids = [str(i) for i in range(40)]
+    probe_ids = [i for i in ids if fnv1a32(i) % 5 == 0]
+    train_id = next(i for i in ids if i not in probe_ids)
+    leak = "alpha beta gamma delta epsilon"
+    texts = []
+    for i in ids:
+        if i == probe_ids[0]:
+            texts.append(f"{leak} zeta")  # probe doc carrying the phrase
+        elif i == train_id:
+            texts.append(f"noise {leak}")  # training doc contaminated by it
+        else:
+            texts.append(f"doc {i} unique words only {i} {i}x {i}y {i}z here")
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = contamination_check(ds, probe_mod=5).to_pandas()
+    assert out["doc_id"].tolist() == [train_id]
+    row = out.iloc[0]
+    assert row["n_shared"] == 1  # exactly the planted 5-gram
+    # probe docs themselves are never reported
+    assert not set(out["doc_id"]) & set(probe_ids)
