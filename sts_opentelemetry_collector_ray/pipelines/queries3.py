@@ -792,9 +792,59 @@ SELECT a.doc_id, count(DISTINCT a.gram) AS n_shared
 FROM g a JOIN p USING (gram)
 WHERE a.h <> 0 GROUP BY a.doc_id"""
 
+def q_docs_pack(sf_dir: str):
+    """Sequence packing for training: greedy first-fit of documents into
+    ≤512-token bins in deterministic doc_id order, per bounded doc_id-range
+    bucket, globally renumbered (stages/pack.py::pack_documents — the A5
+    envelope-packing kernel applied to the LLM-training use case)."""
+    from ..stages.pack import pack_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_documents(ds, max_tokens=512)
+
+
+_PACK_CAP = 512
+_PACK_BUCKET = 1024
+
+ORACLES3["docs_pack"] = f"""
+WITH RECURSIVE
+sized AS (SELECT doc_id, len(string_split(text, ' ')) AS sz,
+                 doc_id // {_PACK_BUCKET} AS bucket
+          FROM documents),
+seq AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM sized),
+gstat AS (SELECT bucket, SUM(sz) AS tot FROM sized GROUP BY 1),
+rseq AS (SELECT s.* FROM seq s JOIN gstat g USING (bucket) WHERE g.tot > {_PACK_CAP}),
+packed AS (
+  SELECT bucket, rn, doc_id, sz, CAST(0 AS BIGINT) AS bin, CAST(sz AS BIGINT) AS acc
+  FROM rseq WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.sz,
+         CASE WHEN p.acc + r.sz > {_PACK_CAP} AND p.acc > 0 THEN p.bin + 1 ELSE p.bin END,
+         CAST(CASE WHEN p.acc + r.sz > {_PACK_CAP} AND p.acc > 0
+              THEN r.sz ELSE p.acc + r.sz END AS BIGINT)
+  FROM rseq r JOIN packed p ON r.bucket = p.bucket AND r.rn = p.rn + 1
+),
+bins AS (
+  SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS n_tokens,
+         arg_min(doc_id, rn) AS first_doc
+  FROM packed GROUP BY 1, 2
+  UNION ALL
+  SELECT s.bucket, CAST(0 AS BIGINT), COUNT(*), CAST(SUM(s.sz) AS BIGINT), min(s.doc_id)
+  FROM seq s JOIN gstat g USING (bucket) WHERE g.tot <= {_PACK_CAP} GROUP BY 1
+),
+cnts AS (SELECT bucket, COUNT(*) AS c FROM bins GROUP BY 1),
+offs AS (SELECT bucket,
+                SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c AS off
+         FROM cnts)
+SELECT CAST(b.bin + o.off AS BIGINT) AS bin_idx, b.n_docs, b.n_tokens, b.first_doc
+FROM bins b JOIN offs o USING (bucket)"""
+
 QUERIES3 = {
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
+    "docs_pack": q_docs_pack,
     "metrics_dispatch": q_metrics_dispatch,
     "body_normalize": q_body_normalize,
     "docs_token_count_bpe": q_docs_token_count_bpe,

@@ -179,3 +179,81 @@ def pack_envelopes(
         return df.drop(columns=["bucket"])
 
     return local.map_batches(renumber, batch_format="pandas")
+
+
+# Documents per sequence-packing sub-bucket (same bounding idea as
+# CONVS_PER_BUCKET: a map_groups group is ≤ DOCS_PER_BUCKET rows regardless of
+# corpus size; bins never span a bucket boundary).
+DOCS_PER_BUCKET = 1024
+
+
+def pack_documents(
+    ds: "ray.data.Dataset",
+    max_tokens: int = 512,
+    docs_per_bucket: int = DOCS_PER_BUCKET,
+) -> "ray.data.Dataset":
+    """Sequence packing for training: documents → token-budget bins.
+
+    The LLM-training analogue of envelope packing (A5): greedy first-fit in
+    deterministic doc_id order, each bin the longest prefix whose whitespace
+    token count stays ≤ ``max_tokens`` (an oversized single doc still ships as
+    its own bin). Packing runs per bounded doc_id-range bucket with the same
+    searchsorted kernel; bin indices are made globally dense with a prefix-sum
+    over per-bucket bin counts (one int per bucket leaves the cluster).
+
+    Output is the bin manifest — (bin_idx, n_docs, n_tokens, first_doc) — the
+    assignment a writer needs to emit packed sequences, not re-materialized
+    text (at corpus scale the text goes straight from the scan to the sink).
+    """
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        did = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_tokens": n,
+                "_bucket": pc.divide(did, pa.scalar(docs_per_bucket, pa.int64())),
+            }
+        )
+
+    def packg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        sizes = g["n_tokens"].to_numpy(dtype=np.int64)
+        env = np.zeros(len(g), dtype=np.int64)
+        _pack_run(sizes, max_tokens, env, 0)
+        g = g.assign(_bin=env)
+        out = g.groupby("_bin", as_index=False).agg(
+            bucket=("_bucket", "first"),
+            n_docs=("_bin", "size"),
+            n_tokens=("n_tokens", "sum"),
+            first_doc=("doc_id", "first"),
+        )
+        return out.rename(columns={"_bin": "bin_idx"})[
+            ["bucket", "bin_idx", "n_docs", "n_tokens", "first_doc"]
+        ]
+
+    local = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(packg, batch_format="pandas")
+    )
+    counts = local.groupby("bucket").count().to_pandas()
+    counts = counts.sort_values("bucket")
+    counts["off"] = counts["count()"].cumsum() - counts["count()"]
+    offsets = dict(zip(counts["bucket"].astype(int), counts["off"].astype(int)))
+    off_ref = ray.put(offsets)
+
+    def renumber(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.assign(
+            bin_idx=df["bin_idx"].to_numpy()
+            + np.fromiter(
+                (off[int(b)] for b in df["bucket"]), dtype=np.int64, count=len(df)
+            )
+        )
+        return df.drop(columns=["bucket"])
+
+    return local.map_batches(renumber, batch_format="pandas")

@@ -190,3 +190,44 @@ def test_pack_removes_pass_through_uncoalesced():
     # one of which is a single-row envelope
     assert (out["n_rows"] == 1).any()
     assert out["n_rows"].sum() == len(g)
+
+
+def test_pack_documents_token_budget(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.pack import pack_documents
+
+    # sizes 3,3,3,10,4,4 with cap 10 → bins [3,3,3][10][4,4]; doc 3 alone,
+    # oversize-equal-to-cap ships; order is doc_id even across input shuffle
+    texts = ["a b c", "d e f", "g h i", " ".join(["w"] * 10), "x y z q", "r s t u"]
+    ids = [0, 1, 2, 3, 4, 5]
+    perm = [3, 0, 5, 2, 4, 1]  # shuffled input
+    t = pa.table({"doc_id": pa.array([ids[i] for i in perm], pa.int64()),
+                  "text": [texts[i] for i in perm]})
+    out = (
+        pack_documents(ray.data.from_arrow(t), max_tokens=10)
+        .to_pandas().sort_values("bin_idx").reset_index(drop=True)
+    )
+    assert out["bin_idx"].tolist() == [0, 1, 2]
+    assert out["n_docs"].tolist() == [3, 1, 2]
+    assert out["n_tokens"].tolist() == [9, 10, 8]
+    assert out["first_doc"].tolist() == [0, 3, 4]
+
+
+def test_pack_documents_global_renumber_across_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.pack import pack_documents
+
+    # two buckets (docs_per_bucket=2): bins renumber densely bucket by bucket
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["a b", "c d", "e f", "g h"]})
+    out = (
+        pack_documents(ray.data.from_arrow(t), max_tokens=2, docs_per_bucket=2)
+        .to_pandas().sort_values("bin_idx").reset_index(drop=True)
+    )
+    assert out["bin_idx"].tolist() == [0, 1, 2, 3]
+    assert out["first_doc"].tolist() == [0, 1, 2, 3]
