@@ -841,10 +841,144 @@ offs AS (SELECT bucket,
 SELECT CAST(b.bin + o.off AS BIGINT) AS bin_idx, b.n_docs, b.n_tokens, b.first_doc
 FROM bins b JOIN offs o USING (bucket)"""
 
+# Per-language keep rates for stratified sampling: downsample the dominant
+# language, keep the tail (the corpus-rebalancing recipe). Deterministic via
+# the same content-independent id hash as docs_split.
+STRATA_RATES = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 80}
+STRATA_DEFAULT = 100
+
+
+def q_docs_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: per-language keep rates applied via
+    fnv1a32(doc_id) % 100 — rebalances the language mix with no RNG state and
+    stable membership across runs/machines (O4 family at corpus scale: one
+    vectorized hash + rate-lookup mask per batch, no shuffle)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a32_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    langs = list(STRATA_RATES)
+    rates = np.array([STRATA_RATES[l] for l in langs] + [STRATA_DEFAULT], dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+        h = fnv1a32_arrow(ids) % np.uint64(100)
+        li = pc.index_in(t["lang"], value_set=pa.array(langs)).to_numpy(
+            zero_copy_only=False
+        )
+        li = np.where(np.isnan(li.astype(float)), len(langs), li).astype(np.int64)
+        keep = h.astype(np.int64) < rates[li]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{l}' THEN {r}" for l, r in STRATA_RATES.items()
+)
+
+ORACLES3["docs_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_FNV32_DOC} < CASE {_STRATA_CASE} ELSE {STRATA_DEFAULT} END"""
+
+
+def q_docs_tfidf(sf_dir: str):
+    """TF-IDF top-3 terms per document. Two passes, both scale-shaped: (1)
+    document-frequency aggregate — per-batch DISTINCT (doc, token) combiner →
+    hash aggregate over the BOUNDED vocabulary → broadcast df map via ray.put;
+    (2) per-batch TF counts × broadcast idf → vectorized per-doc top-3. The
+    corpus streams; only |vocab| rows ever leave the aggregation."""
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        r = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        d = (
+            pa.table({"r": pa.array(r), "w": flat})
+            .group_by(["r", "w"])
+            .aggregate([])
+            .group_by(["w"])
+            .aggregate([([], "count_all")])
+        )
+        return d.rename_columns(["w", "pdf"])
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(distinct_tokens, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()  # |vocab| rows — bounded, documented assumption
+    )
+    df_map = ray.put(
+        (pa.array(df_tbl["w"], pa.string()), df_tbl["df"].to_numpy(dtype=np.float64))
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        vocab, dfvals = ray.get(df_map)
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        r = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tf = (
+            pa.table({"r": pa.array(r), "w": flat}).group_by(["r", "w"]).aggregate(
+                [([], "count_all")]
+            )
+        )
+        rr = tf["r"].to_numpy()
+        cc = tf["count_all"].to_numpy().astype(np.float64)
+        wi = pc.index_in(tf["w"], value_set=vocab).to_numpy(zero_copy_only=False)
+        dfv = dfvals[wi.astype(np.int64)]
+        score = cc * np.log(n_docs * 1.0 / dfv)
+        import pandas as pd
+
+        frame = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[rr],
+                "term": tf["w"].to_pandas(),
+                "score": score,
+            }
+        )
+        frame = frame.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        frame["rank"] = frame.groupby("doc_id").cumcount() + 1
+        frame = frame[frame["rank"] <= 3]
+        frame["score"] = np.floor(frame["score"] * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pandas(
+            frame[["doc_id", "term", "rank", "score"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return docs.map_batches(topk, batch_format="pyarrow")
+
+
+ORACLES3["docs_tfidf"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+dfx AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM documents),
+s AS (SELECT doc_id, w AS term, c * ln(nn * 1.0 / df) AS score
+      FROM tf JOIN dfx USING (w), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk FROM s)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS rank,
+       floor(score * 1e6 + 0.5) / 1e6 AS score
+FROM r WHERE rk <= 3"""
+
 QUERIES3 = {
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
     "docs_pack": q_docs_pack,
+    "docs_sample_stratified": q_docs_sample_stratified,
+    "docs_tfidf": q_docs_tfidf,
     "metrics_dispatch": q_metrics_dispatch,
     "body_normalize": q_body_normalize,
     "docs_token_count_bpe": q_docs_token_count_bpe,

@@ -70,3 +70,39 @@ def test_contamination_broadcast_scan(ray_session):
     assert row["n_shared"] == 1  # exactly the planted 5-gram
     # probe docs themselves are never reported
     assert not set(out["doc_id"]) & set(probe_ids)
+
+
+def test_tfidf_top_terms(ray_session):
+    import ray.data
+    import os
+
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import q_docs_tfidf
+
+    out = q_docs_tfidf("/root/testdata/sf0.001").to_pandas()
+    assert set(out["rank"]) == {1, 2, 3}
+    g = out.groupby("doc_id")
+    assert (g.size() <= 3).all()
+    # rank 1 has the max score within each doc
+    top = out[out["rank"] == 1].set_index("doc_id")["score"]
+    mx = g["score"].max()
+    assert (top == mx[top.index]).all()
+
+
+def test_stratified_sampling_rates(ray_session):
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import (
+        STRATA_RATES,
+        q_docs_sample_stratified,
+    )
+
+    out = q_docs_sample_stratified("/root/testdata/sf0.01").to_pandas()
+    import duckdb
+
+    full = duckdb.sql(
+        "SELECT lang, count(*) n FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY 1"
+    ).df().set_index("lang")["n"]
+    kept = out.groupby("lang").size()
+    for lang, rate in STRATA_RATES.items():
+        frac = kept.get(lang, 0) / full[lang]
+        assert abs(frac - rate / 100) < 0.25  # hash-uniformity within tolerance
+    # en downsampled harder than the tail languages
+    assert kept["en"] / full["en"] < kept["de"] / full["de"]
