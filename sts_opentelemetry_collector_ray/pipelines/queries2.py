@@ -970,6 +970,48 @@ FROM ranked WHERE rank <= {k}"""
 
 ORACLES2["ann_ivf"] = _ann_ivf_oracle()
 
+
+def q_emb_kmeans(sf_dir: str):
+    """K-means cluster assignment over the embedding corpus (the curation step
+    behind cluster-balanced sampling / semantic dedup): seeded data-independent
+    centroids broadcast once, one matmul+argmax per batch
+    (stages/similarity.py::kmeans_assign)."""
+    from ..stages.similarity import kmeans_assign, seeded_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(ds, seeded_centroids(64, 8, seed=42))
+
+
+def _emb_kmeans_oracle(dim: int = 64, k: int = 8) -> str:
+    """Replays kmeans_assign: inlined unit seed-42 centroids, argmax by raw-dot
+    (scale-invariant per row; ties → lowest cid like numpy argmax)."""
+    from ..stages.similarity import _unit, seeded_centroids
+
+    cents = _unit(seeded_centroids(dim, k, seed=42))
+    values = ",\n    ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cents[ci]) + "])"
+        for ci in range(k)
+    )
+    return f"""
+WITH cents(cid, c) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) t(cid, c)
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, c) DESC, cid ASC) AS r
+  FROM corpus, cents
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign WHERE r = 1"""
+
+
+ORACLES2["emb_kmeans"] = _emb_kmeans_oracle()
+
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
 # driver testdata): the engine hashes shingles (FNV-64) but set sizes are
 # collision-free at this scale, so string-shingle Jaccard is the same value.
@@ -1015,6 +1057,7 @@ QUERIES2 = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "emb_kmeans": q_emb_kmeans,
     "emb_neardup": q_emb_neardup,
     "usage_bytes": q_usage_bytes,
     "hash_sample": q_hash_sample,

@@ -255,3 +255,28 @@ def lsh_topk(
         if out
         else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
     )
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Cluster assignment over an embedding corpus: broadcast unit centroids,
+    one matmul + argmax per batch (ties → lowest cid, numpy argmax). The
+    curation workhorse behind cluster-balanced sampling / semantic dedup —
+    corpus streams, centroids are the only shared state. Assignment order is
+    dot(raw_vector, unit_centroid), which is scale-invariant per row and
+    replayable exactly by the DuckDB list_dot_product oracle (same trick as
+    `ivf_topk`'s oracle)."""
+    cents = _unit(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = stack_list_column(t[vec_col]).astype(np.float64)
+        a = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col], "cluster": pa.array(a, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
