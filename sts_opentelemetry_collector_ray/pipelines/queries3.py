@@ -973,7 +973,49 @@ SELECT doc_id, term, CAST(rk AS BIGINT) AS rank,
        floor(score * 1e6 + 0.5) / 1e6 AS score
 FROM r WHERE rk <= 3"""
 
+def q_events_asof(sf_dir: str):
+    """As-of join (purchase attribution): each purchase matched to the same
+    user's most recent view at ts ≤ purchase ts. Distributed via key-aligned
+    bucket co-partitioning + one vectorized lexsort/maximum.accumulate merge
+    per bucket (stages/asof.py::asof_join). Sides are TWO independent reads —
+    never a branched lazy Dataset (CLAUDE.md rule)."""
+    import pyarrow.compute as pc
+
+    from ..stages.asof import asof_join
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def only(et):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], et)).drop_columns(["event_type"])
+
+        return fn
+
+    purchases = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    views = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        only("view"), batch_format="pyarrow"
+    )
+    return asof_join(
+        purchases, views, key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="event_id",
+        out_left="purchase_id", out_right="view_id",
+    )
+
+
+ORACLES3["events_asof"] = """
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+SELECT purchase_id, user_id, view_id, gap_us FROM j WHERE rn = 1"""
+
 QUERIES3 = {
+    "events_asof": q_events_asof,
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
     "docs_pack": q_docs_pack,

@@ -102,3 +102,39 @@ def test_quantile_sketch_accuracy():
     # global (no key) variant
     g = quantile_sketch(ds, "v", qs=[0.5])
     assert len(g) == 1 and g["estimate"].iloc[0] > 0
+
+
+def test_asof_join_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.asof import asof_join
+
+    def mk(rows):
+        ids, users, tss = zip(*rows)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                }
+            )
+        )
+
+    # user 1: views at t=10 (id 100), t=20 (ids 101 AND 102 tie), purchase t=20
+    #   → '<=' matches at equal ts; tie → larger right id (102)
+    # user 2: purchase at t=5 with no prior view → dropped (inner as-of)
+    # user 3: purchase t=50, view t=40 → plain match, gap 10
+    left = mk([(1, 1, 20), (2, 2, 5), (3, 3, 50)])
+    right = mk([(100, 1, 10), (101, 1, 20), (102, 1, 20), (103, 3, 40), (104, 2, 6)])
+    out = (
+        asof_join(left, right, "user_id", "ts", "event_id", "event_id", num_buckets=4)
+        .to_pandas()
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+    assert out["left_id"].tolist() == [1, 3]
+    assert out["right_id"].tolist() == [102, 103]
+    assert out["gap_us"].tolist() == [0, 10]
