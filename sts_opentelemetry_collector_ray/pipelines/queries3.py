@@ -1014,8 +1014,60 @@ j AS (SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
       FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
 SELECT purchase_id, user_id, view_id, gap_us FROM j WHERE rn = 1"""
 
+def q_events_range_join(sf_dir: str):
+    """Range join (the other custom-join shape): purchases joined into the
+    per-user SESSION WINDOW containing them — sessionize builds the non-
+    overlapping intervals, interval_join resolves containment per key bucket
+    with the as-of + end-filter kernel (stages/asof.py::interval_join)."""
+    import pyarrow.compute as pc
+
+    from ..stages.asof import interval_join
+    from ..stages.clusters import sessionize
+
+    sessions = sessionize(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    )
+
+    def only_purchase(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).drop_columns(["event_type"])
+
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(only_purchase, batch_format="pyarrow")
+    return interval_join(
+        purchases, sessions, key_col="user_id", ts_col="ts", point_id="event_id",
+        out_point="purchase_id", out_interval="session_idx",
+    )
+
+
+ORACLES3["events_range_join"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+  FROM sess GROUP BY user_id, session_idx
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id, s.session_idx,
+       p.ts_us - s.start_us AS offset_us
+FROM p JOIN sessions s
+  ON s.user_id = p.user_id AND p.ts_us BETWEEN s.start_us AND s.end_us"""
+
 QUERIES3 = {
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
     "docs_pack": q_docs_pack,

@@ -138,3 +138,41 @@ def test_asof_join_semantics(ray_session):
     assert out["left_id"].tolist() == [1, 3]
     assert out["right_id"].tolist() == [102, 103]
     assert out["gap_us"].tolist() == [0, 10]
+
+
+def test_interval_join_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.asof import interval_join
+
+    points = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array([10, 25, 31, 5, 100], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    # user 1: [10,20] (s0) and [25,30] (s1); user 2: [90,110] (s0)
+    intervals = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "session_idx": pa.array([0, 1, 0], pa.int64()),
+                "start_us": pa.array([10, 25, 90], pa.int64()),
+                "end_us": pa.array([20, 30, 110], pa.int64()),
+            }
+        )
+    )
+    out = (
+        interval_join(points, intervals, "user_id", "ts", "event_id", num_buckets=4)
+        .to_pandas().sort_values("point_id").reset_index(drop=True)
+    )
+    # 1 → boundary-start match s0; 2 → s1; 3 (ts=31, past end) drops;
+    # 4 (before any interval) drops; 5 → user-2 s0
+    assert out["point_id"].tolist() == [1, 2, 5]
+    assert out["interval_id"].tolist() == [0, 1, 0]
+    assert out["offset_us"].tolist() == [0, 0, 10]
