@@ -1065,9 +1065,40 @@ SELECT p.event_id AS purchase_id, p.user_id, s.session_idx,
 FROM p JOIN sessions s
   ON s.user_id = p.user_id AND p.ts_us BETWEEN s.start_us AND s.end_us"""
 
+def q_docs_lm_score(sf_dir: str):
+    """CCNet-style LM quality score: corpus-fit bigram LM (add-one smoothing),
+    per-doc mean transition log-probability — two bounded-aggregate passes +
+    one vectorized scoring pass (stages/text_analysis.py::lm_score_pipeline)."""
+    from ..stages.text_analysis import lm_score_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_score_pipeline(ds).select_columns(["doc_id", "n_trans", "lm_score"])
+
+
+ORACLES3["docs_lm_score"] = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM s) GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+tr AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), j ->
+           {'w1': t[j], 'b': t[j] || ' ' || t[j+1], 'j': j})) AS u
+       FROM s),
+tx AS (SELECT doc_id, u.w1 AS w1, u.b AS b, u.j AS j FROM tr),
+big AS (SELECT b, count(*) AS n FROM tx GROUP BY 1),
+lp AS (SELECT tx.doc_id, tx.j,
+              ln((coalesce(bg.n, 0) + 1.0) / (un.n + v.v)) AS logp
+       FROM tx JOIN uni un ON un.w = tx.w1
+       LEFT JOIN big bg ON bg.b = tx.b, v),
+agg AS (SELECT doc_id, count(*) AS n_trans,
+               list_sum(list(logp ORDER BY j)) / count(*) AS m
+        FROM lp GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.n_trans, 0) AS n_trans,
+       CASE WHEN a.n_trans > 0 THEN floor(a.m * 1e6 + 0.5) / 1e6 END AS lm_score
+FROM s LEFT JOIN agg a USING (doc_id)"""
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "docs_lm_score": q_docs_lm_score,
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
     "docs_pack": q_docs_pack,

@@ -303,3 +303,93 @@ def repetition_batch(t: pa.Table, col: str = "text") -> pa.Table:
     return out.append_column(
         "top_2gram_frac", pa.array(np.floor(top_frac * 1e6 + 0.5) / 1e6, pa.float64())
     )
+
+
+def lm_score_pipeline(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset":
+    """CCNet-style LM quality score without an external model: a bigram LM with
+    add-one smoothing is FIT ON THE CORPUS ITSELF (two passes, the perplexity-
+    filter recipe of Wenzek et al. 2020 re-expressed self-contained):
+
+    pass 1 — bigram + unigram counts: per-batch Arrow group_by combiners →
+    one bounded hash aggregate (|vocab| and |vocab|² ceilings, tiny vs corpus)
+    → broadcast via ray.put;
+    pass 2 — per doc, mean ln P(wᵢ | wᵢ₋₁) over its transitions with
+    P = (c(w₁w₂)+1) / (c(w₁)+V) — vectorized: one index_in per batch against
+    the broadcast tables, np.add.reduceat per-doc sums.
+
+    Output: (doc_id…, n_trans, lm_score) — lm_score null when a doc has no
+    transition (<2 tokens); higher (closer to 0) = more in-distribution.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def _tok(t: pa.Table):
+        toks = pc.split_pattern(pc.fill_null(t[col], ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        return toks.flatten(), counts
+
+    def _bigrams(flat, counts):
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ok = row_idx[:-1] == row_idx[1:] if len(row_idx) > 1 else np.zeros(0, dtype=bool)
+        sel = pa.array(ok)
+        left = flat.slice(0, max(len(flat) - 1, 0)).filter(sel)
+        right = flat.slice(1).filter(sel)
+        return left, right, ok, row_idx
+
+    def uni_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _tok(t)
+        g = pa.table({"w": flat}).group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "pn"])
+
+    def bi_counts(t: pa.Table) -> pa.Table:
+        flat, counts = _tok(t)
+        left, right, _, _ = _bigrams(flat, counts)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({"b": bg}).group_by(["b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["b", "pn"])
+
+    uni = (
+        ds.map_batches(uni_counts, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("pn", alias_name="n")).to_pandas()
+    )
+    bi = (
+        ds.map_batches(bi_counts, batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("pn", alias_name="n")).to_pandas()
+    )
+    V = len(uni)
+    model = ray.put(
+        (
+            pa.array(uni["w"], pa.string()),
+            uni["n"].to_numpy(dtype=np.float64),
+            pa.array(bi["b"], pa.string()),
+            bi["n"].to_numpy(dtype=np.float64),
+            float(V),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        uw, un, bw, bn, v = ray.get(model)
+        flat, counts = _tok(t)
+        left, right, ok, row_idx = _bigrams(flat, counts)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        bi_idx = pc.index_in(bg, value_set=bw).to_numpy(zero_copy_only=False)
+        c_bi = np.where(np.isnan(bi_idx.astype(float)), 0.0, bn[np.nan_to_num(bi_idx).astype(np.int64)])
+        u_idx = pc.index_in(left, value_set=uw).to_numpy(zero_copy_only=False)
+        c_u = np.where(np.isnan(u_idx.astype(float)), 0.0, un[np.nan_to_num(u_idx).astype(np.int64)])
+        logp = np.log((c_bi + 1.0) / (c_u + v))
+        n_trans = np.maximum(counts - 1, 0)
+        sums = np.zeros(len(counts), dtype=np.float64)
+        nz = n_trans > 0
+        if nz.any() and len(logp):
+            starts = np.concatenate([[0], np.cumsum(n_trans[nz])[:-1]]).astype(np.int64)
+            sums[nz] = np.add.reduceat(logp, starts)
+        mean = np.where(nz, sums / np.maximum(n_trans, 1), np.nan)
+        mean = np.floor(mean * 1e6 + 0.5) / 1e6
+        out = t.append_column("n_trans", pa.array(n_trans, pa.int64()))
+        return out.append_column(
+            "lm_score", pa.array(np.where(nz, mean, np.nan), pa.float64(), from_pandas=True)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -106,3 +106,29 @@ def test_stratified_sampling_rates(ray_session):
         assert abs(frac - rate / 100) < 0.25  # hash-uniformity within tolerance
     # en downsampled harder than the tail languages
     assert kept["en"] / full["en"] < kept["de"] / full["de"]
+
+
+def test_lm_score_in_distribution_ordering(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.text_analysis import lm_score_pipeline
+
+    # corpus dominated by "a b" transitions; doc 3 is out-of-distribution,
+    # doc 4 has a single token (no transitions → null score)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a b a b a b", "a b a b", "x y z q", "solo"],
+        }
+    )
+    out = (
+        lm_score_pipeline(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_trans"].tolist() == [5, 3, 3, 0]
+    assert np.isnan(out["lm_score"][3])
+    # frequent transitions score higher (closer to 0) than rare ones
+    assert out["lm_score"][0] > out["lm_score"][2]
+    assert out["lm_score"][1] > out["lm_score"][2]
