@@ -1095,10 +1095,128 @@ SELECT s.doc_id, coalesce(a.n_trans, 0) AS n_trans,
        CASE WHEN a.n_trans > 0 THEN floor(a.m * 1e6 + 0.5) / 1e6 END AS lm_score
 FROM s LEFT JOIN agg a USING (doc_id)"""
 
+_EPOCH = 3
+_EPOCH_SHARDS = 16
+
+
+def q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch reshuffle for training loaders: each epoch permutes
+    the corpus by hashing (doc_id, epoch) — docs land in one of N loader
+    shards with a within-shard position, no RNG state, any epoch reproducible.
+    Shard ranks are computed per shard bucket with a vectorized argsort — one
+    bounded exchange, never a global sort. _EPOCH_SHARDS is the task-memory
+    knob: size it so corpus/shards fits one task (the DOCS_PER_BUCKET
+    argument); loaders at 100 TB run thousands of shards."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()), str(_EPOCH), ":"
+        )
+        h = fnv1a64_arrow(key.combine_chunks())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "shard": pa.array(
+                    (h % np.uint64(_EPOCH_SHARDS)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        df["shard_pos"] = np.arange(len(df), dtype=np.int64)
+        return df[["doc_id", "shard", "shard_pos"]]
+
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+_FNV64_EPOCH = (
+    "CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+    f"list_transform(string_split(CAST(doc_id AS VARCHAR) || ':{_EPOCH}', ''), "
+    "c -> unicode(c)::HUGEINT)), "
+    "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS HUGEINT)"
+)
+
+ORACLES3["docs_epoch_shuffle"] = f"""
+WITH h AS (
+  SELECT doc_id, {_FNV64_EPOCH} AS hu FROM documents
+),
+x AS (
+  SELECT doc_id,
+         CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+                   ELSE hu END AS BIGINT) AS h,
+         CAST(hu % {_EPOCH_SHARDS} AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS shard_pos
+FROM x"""
+
+
+_TOPK_PER_STRATUM = 20
+
+
+def q_docs_topk_sample(sf_dir: str):
+    """Exact-k-per-stratum deterministic sample: within each language the k
+    docs with the smallest id hash (reservoir sampling's batch equivalent —
+    stable membership, exactly k per stratum). Strata are bounded, so the
+    per-stratum rank is a bounded map_groups with a vectorized argsort."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a32_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-batch combiner: at most k rows per (batch, lang) survive, so the
+        # final per-stratum group sees ≤ k × #batches rows, never the stratum
+        h = fnv1a32_arrow(pc.cast(t["doc_id"], pa.string()).combine_chunks())
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": t["lang"].to_pandas(),
+                "h": h.astype(np.int64),
+            }
+        )
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df.groupby("lang", as_index=False).head(_TOPK_PER_STRATUM)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort").head(_TOPK_PER_STRATUM)
+        return df[["doc_id", "lang"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+ORACLES3["docs_topk_sample"] = f"""
+WITH h AS (SELECT doc_id, lang, {_FNV32_DOC.replace(') % 100', ')')} AS h FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rk <= {_TOPK_PER_STRATUM}"""
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "docs_lm_score": q_docs_lm_score,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "docs_topk_sample": q_docs_topk_sample,
     "docs_repetition": q_docs_repetition,
     "docs_contamination": q_docs_contamination,
     "docs_pack": q_docs_pack,
