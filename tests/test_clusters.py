@@ -176,3 +176,41 @@ def test_interval_join_semantics(ray_session):
     assert out["point_id"].tolist() == [1, 2, 5]
     assert out["interval_id"].tolist() == [0, 1, 0]
     assert out["offset_us"].tolist() == [0, 0, 10]
+
+
+def test_asof_and_interval_join_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.asof import asof_join, interval_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "user_id": pa.array([1], pa.int64()),
+                "ts": pa.array([10], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    assert asof_join(left, empty, "user_id", "ts", "event_id", "event_id").count() == 0
+    empty_iv = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert interval_join(left, empty_iv, "user_id", "ts", "event_id").count() == 0
