@@ -7,10 +7,10 @@ canonical encoding (deduplicator.go:217-413, which uses xxhash64; we use FNV-1a6
 same spirit: stable, cross-run deterministic — since xxhash is not a public dependency of
 this engine).
 
-Both are implemented as *vectorized* numpy kernels: strings are packed into a fixed-width
-byte matrix and the hash state advances one character-position at a time across the whole
-column (W iterations of O(N) vector ops instead of N Python loops). This keeps the hot
-path free of per-row Python in `map_batches` stages.
+Both are implemented as *vectorized* numpy kernels over the Arrow string buffers:
+rows are processed in length-sorted order so the byte-position loop touches only the
+rows still live at each position — total work is sum(len) bytes, not N × max(len) —
+with zero per-row Python in `map_batches` stages.
 """
 
 from __future__ import annotations
@@ -44,37 +44,26 @@ def fnv1a64(s: str | bytes) -> int:
     return acc
 
 
-def _to_byte_matrix(values: "pa.Array | np.ndarray | list[str]") -> tuple[np.ndarray, np.ndarray]:
-    """Pack a string column into (N, W) uint8 matrix + per-row byte lengths.
+def _as_string_array(values) -> "pa.Array":
+    """Coerce any string-ish column to an Arrow string array with the same value
+    semantics as the legacy byte-matrix path (None → the literal "None", non-str
+    → str(v)) so hashes stay bit-identical across the delegation."""
+    import pyarrow.compute as pc
 
-    Zero bytes past each row's length are skipped by masking, so NUL-free strings of
-    any length hash identically to the scalar loop.
-    """
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_numpy(zero_copy_only=False)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array) and pa.types.is_string(values.type):
+        return pc.fill_null(values, "None") if values.null_count else values
     arr = np.asarray(values, dtype=object)
-    # Fixed-width bytes dtype: numpy encodes str -> UTF-8 padded with NULs.
-    fixed = np.char.encode(arr.astype(str), "utf-8")
-    lengths = np.char.str_len(fixed).astype(np.int64)
-    width = int(fixed.dtype.itemsize)
-    if width == 0:
-        return np.zeros((len(arr), 0), dtype=np.uint8), lengths
-    mat = np.frombuffer(fixed.tobytes(), dtype=np.uint8).reshape(len(arr), width)
-    return mat, lengths
+    try:
+        s = pa.array(arr, pa.string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        s = pa.array(arr.astype(str), pa.string())
+    return pc.fill_null(s, "None") if s.null_count else s
 
 
 def _fnv_vector(values, offset: np.uint64, prime: np.uint64, mask: np.uint64 | None) -> np.ndarray:
-    mat, lengths = _to_byte_matrix(values)
-    n, width = mat.shape
-    acc = np.full(n, offset, dtype=np.uint64)
-    for pos in range(width):
-        col = mat[:, pos].astype(np.uint64)
-        live = pos < lengths
-        nxt = (acc ^ col) * prime
-        if mask is not None:
-            nxt &= mask
-        acc = np.where(live, nxt, acc)
-    return acc
+    return _fnv_arrow(_as_string_array(values), offset, prime, mask)
 
 
 def fnv1a32_array(values) -> np.ndarray:
@@ -110,22 +99,28 @@ def _arrow_string_bytes(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray, np.nda
 
 
 def _fnv_arrow(arr: "pa.Array", offset: np.uint64, prime: np.uint64, mask) -> np.ndarray:
+    """Byte-position loop over length-SORTED rows: each iteration touches only the
+    rows still live (a suffix of the sorted order), so total work is sum(lens)
+    instead of n × max(len) — ~10× on skewed lengths, bit-identical outputs."""
     data, starts, lens = _arrow_string_bytes(arr)
     n = len(starts)
     acc = np.full(n, offset, dtype=np.uint64)
     if n == 0:
         return acc
-    width = int(lens.max()) if n else 0
-    guard = max(len(data) - 1, 0)
+    order = np.argsort(lens, kind="stable")
+    s_lens = lens[order]
+    s_starts = starts[order]
+    s_acc = acc[order]
+    width = int(s_lens[-1])
     with np.errstate(over="ignore"):
         for pos in range(width):
-            live = pos < lens
-            idx = np.minimum(starts + pos, guard)
-            b = data[idx].astype(np.uint64) if len(data) else np.zeros(n, np.uint64)
-            nxt = (acc ^ b) * prime
+            k = int(np.searchsorted(s_lens, pos, side="right"))
+            b = data[s_starts[k:] + pos].astype(np.uint64)
+            nxt = (s_acc[k:] ^ b) * prime
             if mask is not None:
                 nxt &= mask
-            acc = np.where(live, nxt, acc)
+            s_acc[k:] = nxt
+    acc[order] = s_acc
     return acc
 
 
