@@ -1211,6 +1211,69 @@ r AS (SELECT doc_id, lang,
       FROM h)
 SELECT doc_id, lang FROM r WHERE rk <= {_TOPK_PER_STRATUM}"""
 
+# Line-level dedup (C4 / Lee et al. 2021): the "line" unit on this word-stream
+# corpus is a fixed 2-word window — see stages/linededup.py for the rationale.
+_LINE_W = 2
+
+_LINE_CHUNKS_CTE = f"""
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, ord // {_LINE_W} AS widx, string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, (ord // {_LINE_W})
+)"""
+
+
+def q_docs_line_dedup(sf_dir: str):
+    """Within-document window dedup (C4-style repeated-span removal): drop all
+    but the first occurrence of each distinct 2-word window inside a doc and
+    re-join. Pure map_batches — zero shuffles, streams at any corpus size."""
+    from ..stages.linededup import line_dedup_docs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup_docs(ds, window=_LINE_W)
+
+
+ORACLES3["docs_line_dedup"] = f"""
+WITH {_LINE_CHUNKS_CTE}, k AS (
+  SELECT doc_id, widx, chunk,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY widx) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_windows
+  FROM c
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY widx) AS text,
+       CAST(max(n_windows) AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id"""
+
+
+def q_docs_line_dedup_global(sf_dir: str):
+    """Corpus-global first-wins window dedup (Lee et al. 2021 shape): each
+    distinct 2-word window survives only at its minimum (doc_id, widx)
+    occurrence corpus-wide; docs are reassembled from their surviving windows.
+    Two bounded exchanges (chunk-hash election, doc-hash reassembly)."""
+    from ..stages.linededup import line_dedup_global
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup_global(ds, window=_LINE_W, num_buckets=64)
+
+
+ORACLES3["docs_line_dedup_global"] = f"""
+WITH {_LINE_CHUNKS_CTE}, k AS (
+  SELECT doc_id, widx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, widx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY widx) AS text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id"""
+
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1240,6 +1303,8 @@ QUERIES3 = {
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "sg_latency_quantiles": q_sg_latency_quantiles,
+    "docs_line_dedup": q_docs_line_dedup,
+    "docs_line_dedup_global": q_docs_line_dedup_global,
 }
 
 

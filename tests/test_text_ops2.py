@@ -132,3 +132,48 @@ def test_lm_score_in_distribution_ordering(ray_session):
     # frequent transitions score higher (closer to 0) than rare ones
     assert out["lm_score"][0] > out["lm_score"][2]
     assert out["lm_score"][1] > out["lm_score"][2]
+
+
+def test_line_dedup_within_doc_edges():
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.linededup import line_dedup_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a b a b c d a b",  # "a b" repeats at widx 0,1,3 → keep first
+                "",                  # empty text → one empty chunk
+                "solo",              # shorter than the window
+                "x y x y x y",       # collapses to one window
+            ],
+        }
+    )
+    out = line_dedup_batch(t, window=2)
+    assert out["text"].to_pylist() == ["a b c d", "", "solo", "x y"]
+    assert out["n_windows"].to_pylist() == [4, 1, 1, 3]
+    assert out["n_kept"].to_pylist() == [2, 1, 1, 1]
+
+
+def test_line_dedup_global_first_wins(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.linededup import line_dedup_global
+
+    # "a b" first occurs in doc 1 widx 0; doc 2 is entirely shadowed by doc 1
+    # and must VANISH; doc 3 keeps only its novel window.
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a b c d", "c d a b", "a b z z"],
+        }
+    )
+    out = (
+        line_dedup_global(ray.data.from_arrow(t), window=2, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["text"].tolist() == ["a b c d", "z z"]
+    assert out["n_kept"].tolist() == [2, 1]
