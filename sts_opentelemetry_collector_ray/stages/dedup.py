@@ -111,15 +111,53 @@ def _finalize_local(
                 bucket[is_nl] = (
                     dk[is_nl] % np.uint64(num_buckets)
                 ).astype(np.int32) + np.int32(num_buckets)
+        # Slim the exchange: per-rule-constant envelope columns (~12% of payload
+        # bytes) stay home; the bucket side restores them from data_source.
+        t = t.drop_columns([c for c in _ENVELOPE_COLS if c in t.column_names])
         return t.append_column("_bucket", pa.array(np.asarray(bucket, dtype=np.int32), pa.int32()))
 
     return fn
 
 
-def _finalize_bucket(t: "pa.Table") -> "pa.Table":
-    """Per-bucket: deterministic order + exact first-wins on co-located keys."""
-    t = _sorted_first_wins(t)
-    return t.drop_columns(["_bucket"])
+# Per-rule constants that ride the exchange as full columns otherwise: sink
+# (5.7% of payload bytes, measured at sf0.01), expire_after_ms (3.0%),
+# specificity (3.1%) are all FUNCTIONS of data_source — drop them before the
+# shuffle, restore from a tiny broadcast map after. Safe for first-wins: a
+# dedup key's prefix is (identifier|signal), so duplicates of one key always
+# share one data_source (hence one sink) — the combiner's winner is identical
+# with or without sink in its sort key.
+_ENVELOPE_COLS = ["sink", "expire_after_ms", "specificity"]
+
+
+def _envelope_map(rules) -> dict[str, tuple[str, int, float | None]]:
+    return {
+        r.rule.identifier: (
+            r.rule.sink,
+            int(r.rule.expire_after_ms),
+            None if r.is_relation else float(r.rule.specificity),
+        )
+        for r in rules
+    }
+
+
+def _finalize_bucket_restoring(env_map: dict, schema: "pa.Schema"):
+    """Per-bucket: restore the per-rule envelope columns from data_source, then
+    deterministic order + exact first-wins on co-located keys."""
+    keys = pa.array(list(env_map.keys()), pa.string())
+    sinks = pa.array([v[0] for v in env_map.values()], pa.string())
+    expires = pa.array([v[1] for v in env_map.values()], pa.int64())
+    specs = pa.array([v[2] for v in env_map.values()], pa.float64())
+
+    def fn(t: "pa.Table") -> "pa.Table":
+        idx = pc.index_in(t["data_source"], value_set=keys)
+        cols = {name: t[name] for name in t.column_names}
+        cols["sink"] = pc.take(sinks, idx)
+        cols["expire_after_ms"] = pc.take(expires, idx)
+        cols["specificity"] = pc.take(specs, idx)
+        t = pa.table({f.name: cols[f.name] for f in schema})
+        return _sorted_first_wins(t)
+
+    return fn
 
 
 def finalize_routed(
@@ -172,4 +210,9 @@ def finalize_routed(
         _finalize_local(num_buckets, nonlocal_sources, saltable_sources, salt_span),
         batch_format="pyarrow",
     )
-    return pre.groupby("_bucket").map_groups(_finalize_bucket, batch_format="pyarrow")
+    from .route import ROUTED_SCHEMA
+
+    return pre.groupby("_bucket").map_groups(
+        _finalize_bucket_restoring(_envelope_map(rules), ROUTED_SCHEMA),
+        batch_format="pyarrow",
+    )
