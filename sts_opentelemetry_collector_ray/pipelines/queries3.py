@@ -734,10 +734,133 @@ SELECT b.doc_id AS media_id,
 FROM bright b JOIN mo m ON b.doc_id = m.doc_id"""
 
 
+def q_image_augment(sf_dir: str):
+    """REAL image augmentation (no stub): deterministic horizontal flip
+    (media_id odd) + fixed 32×24 center crop + integer BT.601 luma, with an
+    exact 4-bin gray histogram and exact-integer gray mean — whole-batch numpy
+    over the zero-copy payload stack (`_decode_bin_stack`). Oracled: the SQL
+    replays every cropped pixel through the flip coordinate map and the same
+    integer luma/bin math (`_image_augment_oracle`)."""
+    from ..stages.multimodal import image_augment_stage, synthesize_image_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synthesize_image_batch, batch_format="pyarrow")
+    return image_augment_stage(media, concurrency=2).select_columns(
+        ["media_id", "flipped", "gray_mean", "hist_0", "hist_1", "hist_2", "hist_3"]
+    )
+
+
+def _image_augment_oracle() -> str:
+    """Pixel replay of the augmentation path: the flip is a coordinate map
+    (x_src = W-1-x for odd ids), so the oracle re-derives each CROPPED pixel
+    from `synthesize_image_batch`'s closed-form formulas at the mapped source
+    coordinate, then applies the identical integer luma and 64-wide bins."""
+    from ..stages.multimodal import (
+        CROP_H,
+        CROP_W,
+        CROP_X0,
+        CROP_Y0,
+        IMG_H,
+        IMG_W,
+        _LUMA,
+    )
+
+    hists = ",\n       ".join(
+        f"CAST(count(*) FILTER (luma // 64 = {k}) AS BIGINT) AS hist_{k}"
+        for k in range(4)
+    )
+    return f"""
+WITH co AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 1 THEN {IMG_W - 1} - x.x ELSE x.x END AS xs,
+         y.y AS y
+  FROM documents d,
+       unnest(range({CROP_Y0}, {CROP_Y0 + CROP_H})) AS y(y),
+       unnest(range({CROP_X0}, {CROP_X0 + CROP_W})) AS x(x)
+), rgb AS (
+  SELECT doc_id,
+         CASE WHEN xs >= doc_id % {IMG_W - 16}
+               AND xs <  doc_id % {IMG_W - 16} + 16
+               AND y >= (doc_id * 7) % {IMG_H - 12}
+               AND y <  (doc_id * 7) % {IMG_H - 12} + 12
+              THEN 255 - (xs * 255) // {IMG_W - 1}
+              ELSE (xs * 255) // {IMG_W - 1} END AS r,
+         (y * 255) // {IMG_H - 1} AS g,
+         (doc_id * 37) % 256 AS b
+  FROM co
+), l AS (
+  SELECT doc_id, ({_LUMA[0]} * r + {_LUMA[1]} * g + {_LUMA[2]} * b) // 1000 AS luma
+  FROM rgb
+)
+SELECT doc_id AS media_id,
+       (doc_id % 2 = 1) AS flipped,
+       floor((sum(luma) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS gray_mean,
+       {hists}
+FROM l GROUP BY doc_id"""
+
+
+def q_video_scenes(sf_dir: str):
+    """REAL video scene-cut detection (no stub): per-transition exact-integer
+    abs-delta sums over the raw frame stack, integer-compared cut threshold
+    (no float boundary), first-max peak transition, mean motion. Oracled: the
+    SQL re-synthesizes every frame pixel and replays the consecutive-frame
+    join + integer threshold + window-max tie-break (`_video_scenes_oracle`)."""
+    from ..stages.multimodal import synthesize_video_batch, video_scene_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synthesize_video_batch, batch_format="pyarrow")
+    return video_scene_stage(media, concurrency=2).select_columns(
+        ["media_id", "n_cuts", "peak_frame", "peak_motion", "mean_motion"]
+    )
+
+
+def _video_scenes_oracle() -> str:
+    from ..stages.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        VID_FRAMES,
+        VID_H,
+        VID_W,
+    )
+
+    denom = VID_H * VID_W * 3
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, f.f, y.y, x.x,
+         ((((x.x + (d.doc_id + 3*f.f) % {VID_W}) % {VID_W}) * 255)
+            // {VID_W - 1}) AS r,
+         (y.y * 255) // {VID_H - 1} AS g,
+         (d.doc_id * 11 + f.f * 29) % 256 AS b
+  FROM documents d,
+       unnest(range(0, {VID_FRAMES})) AS f(f),
+       unnest(range(0, {VID_H})) AS y(y),
+       unnest(range(0, {VID_W})) AS x(x)
+),
+tr AS (
+  SELECT a.doc_id, a.f,
+         sum(abs(b2.r - a.r) + abs(b2.g - a.g) + abs(b2.b - a.b)) AS s
+  FROM px a JOIN px b2 ON a.doc_id = b2.doc_id AND b2.f = a.f + 1
+                        AND a.y = b2.y AND a.x = b2.x
+  GROUP BY a.doc_id, a.f
+),
+wm AS (
+  SELECT doc_id, f, s, max(s) OVER (PARTITION BY doc_id) AS mx FROM tr
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) FILTER (s > {SCENE_CUT_THRESHOLD} * {denom}) AS BIGINT)
+         AS n_cuts,
+       CAST(min(f) FILTER (s = mx) AS INT) AS peak_frame,
+       floor((max(s) * 1.0 / {denom}) * 1e6 + 0.5) / 1e6 AS peak_motion,
+       floor((sum(s) * 1.0 / ({denom} * {VID_FRAMES - 1})) * 1e6 + 0.5) / 1e6
+         AS mean_motion
+FROM wm GROUP BY doc_id"""
+
+
 ORACLES3["media_features"] = _media_features_oracle()
 ORACLES3["audio_features"] = _audio_features_oracle()
 ORACLES3["image_thumbs"] = _image_thumbs_oracle()
 ORACLES3["video_frames"] = _video_frames_oracle()
+ORACLES3["image_augment"] = _image_augment_oracle()
+ORACLES3["video_scenes"] = _video_scenes_oracle()
 
 
 def q_docs_repetition(sf_dir: str):
@@ -1305,6 +1428,8 @@ QUERIES3 = {
     "sg_latency_quantiles": q_sg_latency_quantiles,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_line_dedup_global": q_docs_line_dedup_global,
+    "image_augment": q_image_augment,
+    "video_scenes": q_video_scenes,
 }
 
 

@@ -405,3 +405,123 @@ def decode_stage(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image augmentation: flip + center-crop + integer luma stats (REAL kernels)
+# ---------------------------------------------------------------------------
+
+CROP_X0, CROP_Y0, CROP_W, CROP_H = 16, 12, 32, 24
+_LUMA = (299, 587, 114)  # integer BT.601 weights, // 1000
+
+
+def _decode_bin_stack(bin_col, shape: tuple[int, ...]) -> np.ndarray:
+    """Whole-batch zero-copy decode of an equal-length binary column: reshape
+    the Arrow data buffer directly (values are stored back-to-back). Falls back
+    to a per-row loop only for ragged payloads."""
+    arr = bin_col.combine_chunks() if isinstance(bin_col, pa.ChunkedArray) else bin_col
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    lens = np.diff(offs.astype(np.int64))
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    want = int(np.prod(shape))
+    if n and (lens == want).all():
+        return data[offs[0] : offs[0] + n * want].reshape((n,) + shape)
+    return np.stack(
+        [np.frombuffer(arr[i].as_py(), dtype=np.uint8).reshape(shape) for i in range(n)]
+    )
+
+
+class ImageAugmentActor:
+    """REAL augmentation kernels over raw RGB24 bitmaps — whole-batch numpy:
+    deterministic horizontal flip (media_id odd), fixed center crop, integer
+    BT.601 luma, exact 4-bin gray histogram + exact-integer gray mean. The
+    training-data aug layout: geometry columns + stats, payload dropped."""
+
+    def __init__(self, crop=(CROP_X0, CROP_Y0, CROP_W, CROP_H)):
+        self.x0, self.y0, self.cw, self.ch = crop
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h = int(t["height"][0].as_py())
+        w = int(t["width"][0].as_py())
+        imgs = _decode_bin_stack(t["payload"], (h, w, 3))
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        flip = (ids % 2).astype(bool)
+        flipped = np.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        crop = flipped[
+            :, self.y0 : self.y0 + self.ch, self.x0 : self.x0 + self.cw, :
+        ].astype(np.int64)
+        luma = (
+            _LUMA[0] * crop[..., 0] + _LUMA[1] * crop[..., 1] + _LUMA[2] * crop[..., 2]
+        ) // 1000
+        m = luma.reshape(len(imgs), -1)
+        n_px = m.shape[1]
+        gray_mean = _round6_away(m.sum(axis=1) / n_px)
+        q = m >> 6  # 4 bins of width 64
+        hist = np.stack([(q == k).sum(axis=1) for k in range(4)], axis=1)
+        out = t.drop_columns(["payload"])
+        out = out.append_column("flipped", pa.array(flip))
+        out = out.append_column("gray_mean", pa.array(gray_mean, pa.float64()))
+        for k in range(4):
+            out = out.append_column(f"hist_{k}", pa.array(hist[:, k], pa.int64()))
+        return out
+
+
+def image_augment_stage(
+    ds: "ray.data.Dataset", concurrency: int = 4, batch_size: int = 256
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageAugmentActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection over inter-frame deltas (REAL kernels)
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_THRESHOLD = 30  # mean-abs-delta per pixel-channel; compare in exact ints
+
+
+class VideoSceneActor:
+    """REAL scene analysis over raw RGB24 frame stacks — whole-batch numpy:
+    per-transition exact integer abs-delta sums, cut decisions compared in
+    integers (sum > T * size, no float boundary), first-max peak transition."""
+
+    def __init__(self, threshold: int = SCENE_CUT_THRESHOLD):
+        self.threshold = int(threshold)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h = int(t["height"][0].as_py())
+        w = int(t["width"][0].as_py())
+        f = int(t["n_frames"][0].as_py())
+        vids = _decode_bin_stack(t["payload"], (f, h, w, 3)).astype(np.int64)
+        deltas = np.abs(np.diff(vids, axis=1))  # (n, f-1, h, w, 3)
+        s = deltas.reshape(len(vids), f - 1, -1).sum(axis=2)  # exact ints
+        denom = h * w * 3
+        n_cuts = (s > self.threshold * denom).sum(axis=1).astype(np.int64)
+        peak = s.argmax(axis=1).astype(np.int32)  # first max on ties
+        rows = np.arange(len(vids))
+        peak_motion = _round6_away(s[rows, peak] / denom)
+        mean_motion = _round6_away(s.sum(axis=1) / (denom * (f - 1)))
+        out = t.drop_columns(["payload"])
+        out = out.append_column("n_cuts", pa.array(n_cuts, pa.int64()))
+        out = out.append_column("peak_frame", pa.array(peak, pa.int32()))
+        out = out.append_column("peak_motion", pa.array(peak_motion, pa.float64()))
+        out = out.append_column("mean_motion", pa.array(mean_motion, pa.float64()))
+        return out
+
+
+def video_scene_stage(
+    ds: "ray.data.Dataset", concurrency: int = 4, batch_size: int = 128
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        VideoSceneActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )

@@ -320,3 +320,66 @@ def test_ivf_topk_recall():
     # deterministic across runs (seeded k-means)
     ivf2 = ivf_topk(ds, clustered[qids], qids, k=5, num_centroids=4, nprobe=2)
     pd.testing.assert_frame_equal(ivf.reset_index(drop=True), ivf2.reset_index(drop=True))
+
+
+def test_image_augment_flip_and_bins():
+    import numpy as np
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.multimodal import (
+        CROP_H, CROP_W, CROP_X0, CROP_Y0, ImageAugmentActor, synthesize_image_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([4, 5, 6, 7], pa.int64())})
+    media = synthesize_image_batch(t)
+    out = ImageAugmentActor()(media)
+    # brute force per row
+    for i, mid in enumerate([4, 5, 6, 7]):
+        img = np.frombuffer(media["payload"][i].as_py(), np.uint8).reshape(48, 64, 3)
+        if mid % 2 == 1:
+            img = img[:, ::-1, :]
+        crop = img[CROP_Y0 : CROP_Y0 + CROP_H, CROP_X0 : CROP_X0 + CROP_W].astype(np.int64)
+        luma = (299 * crop[..., 0] + 587 * crop[..., 1] + 114 * crop[..., 2]) // 1000
+        exp_mean = np.floor(luma.mean() * 1e6 + 0.5) / 1e6
+        assert out["flipped"][i].as_py() == (mid % 2 == 1)
+        assert out["gray_mean"][i].as_py() == exp_mean
+        assert out["hist_2"][i].as_py() == int((luma // 64 == 2).sum())
+        assert sum(out[f"hist_{k}"][i].as_py() for k in range(4)) == CROP_W * CROP_H
+
+
+def test_video_scene_threshold_and_tiebreak():
+    import numpy as np
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.multimodal import (
+        SCENE_CUT_THRESHOLD, VideoSceneActor, synthesize_video_batch,
+    )
+
+    ids = list(range(12))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    media = synthesize_video_batch(t)
+    out = VideoSceneActor()(media)
+    for i, mid in enumerate(ids):
+        vid = np.frombuffer(media["payload"][i].as_py(), np.uint8).reshape(8, 24, 32, 3)
+        s = np.abs(np.diff(vid.astype(np.int64), axis=0)).reshape(7, -1).sum(axis=1)
+        denom = 24 * 32 * 3
+        assert out["n_cuts"][i].as_py() == int((s > SCENE_CUT_THRESHOLD * denom).sum())
+        assert out["peak_frame"][i].as_py() == int(s.argmax())  # first max on ties
+        assert out["mean_motion"][i].as_py() == np.floor(s.sum() / (denom * 7) * 1e6 + 0.5) / 1e6
+
+
+def test_decode_bin_stack_ragged_fallback():
+    import numpy as np
+    import pyarrow as pa
+
+    from sts_opentelemetry_collector_ray.stages.multimodal import _decode_bin_stack
+
+    a = np.arange(12, dtype=np.uint8)
+    b = np.arange(12, 24, dtype=np.uint8)
+    col = pa.array([a.tobytes(), b.tobytes()], pa.binary())
+    stack = _decode_bin_stack(col, (3, 4))
+    assert stack.shape == (2, 3, 4)
+    assert (stack[1] == b.reshape(3, 4)).all()
+    # sliced column exercises the arr.offset path of the zero-copy branch
+    stack2 = _decode_bin_stack(col.slice(1, 1), (3, 4))
+    assert (stack2[0] == b.reshape(3, 4)).all()
