@@ -1010,6 +1010,55 @@ assign AS (
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign WHERE r = 1"""
 
 
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup (the SCALE PATH for embedding near-dup,
+    upgrading the exact all-pairs baseline `emb_neardup`): k-means bucket →
+    in-cluster cosine → drop vectors with an earlier in-cluster neighbor
+    ≥ 0.3 (stages/similarity.py::semantic_dedup)."""
+    from ..stages.similarity import seeded_centroids, semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, seeded_centroids(64, 8, seed=42), threshold=0.3)
+
+
+def _emb_semantic_dedup_oracle(dim: int = 64, k: int = 8, tau: float = 0.3) -> str:
+    """Replays semantic_dedup: inlined unit seed-42 centroids, argmax-by-dot
+    assignment (ties → lowest cid), then the NOT-EXISTS-earlier-neighbor
+    predicate — the exact non-cascading drop rule of the kernel."""
+    from ..stages.similarity import _unit, seeded_centroids
+
+    cents = _unit(seeded_centroids(dim, k, seed=42))
+    values = ",\n    ".join(
+        f"({ci}, [" + ", ".join(repr(float(x)) for x in cents[ci]) + "])"
+        for ci in range(k)
+    )
+    return f"""
+WITH cents(cid, c) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) t(cid, c)
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, c) DESC, cid ASC) AS r
+  FROM corpus, cents
+),
+a AS (SELECT vec_id, v, cid FROM assign WHERE r = 1)
+SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cluster
+FROM a x
+WHERE NOT EXISTS (
+  SELECT 1 FROM a y
+  WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+    AND list_cosine_similarity(x.v, y.v) >= {tau})"""
+
+
+ORACLES2["emb_semantic_dedup"] = _emb_semantic_dedup_oracle()
+
+
 ORACLES2["emb_kmeans"] = _emb_kmeans_oracle()
 
 # Exact 5-gram Jaccard over the first 200 docs (doc_id == file position in the
@@ -1058,6 +1107,7 @@ QUERIES2 = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_neardup": q_emb_neardup,
     "usage_bytes": q_usage_bytes,
     "hash_sample": q_hash_sample,

@@ -280,3 +280,61 @@ def kmeans_assign(
         return pa.table({id_col: t[id_col], "cluster": pa.array(a, pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): k-means-bucket the
+    corpus, compare cosine only WITHIN a cluster, and drop every vector that
+    has ANY lower-id in-cluster neighbor at/above the threshold (deterministic,
+    non-cascading — a dropped vector still shadows later ones, which is exactly
+    the SQL ``NOT EXISTS earlier neighbor`` predicate the oracle replays).
+
+    This is the SCALE PATH the exact all-pairs baseline
+    (`dedup_docs.embedding_neardup_pairs`) is not: pairwise work happens only
+    inside a cluster, and the cluster count is the partitioning knob — k grows
+    with the corpus so |cluster| stays bounded (documented assumption; skewed
+    clusters bound the largest single task). One exchange ships each
+    (id, cluster, vector) once; the driver never sees a row."""
+    cents = _unit(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = stack_list_column(t[vec_col]).astype(np.float64)
+        a = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        mat = stack_list_column(t[vec_col]).astype(np.float64)[order]
+        ids = ids[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sim = unit @ unit.T  # bounded: |cluster|² by design
+        m = sim >= threshold
+        drop = np.triu(m, 1).any(axis=0)  # exists earlier (lower-id) neighbor
+        keep = ~drop
+        cl = t["cluster"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster": pa.array(cl[keep], pa.int64()),
+            }
+        )
+
+    ex = ds.map_batches(assign, batch_format="pyarrow")
+    return ex.groupby("cluster").map_groups(per_cluster, batch_format="pyarrow")

@@ -383,3 +383,31 @@ def test_decode_bin_stack_ragged_fallback():
     # sliced column exercises the arr.offset path of the zero-copy branch
     stack2 = _decode_bin_stack(col.slice(1, 1), (3, 4))
     assert (stack2[0] == b.reshape(3, 4)).all()
+
+
+def test_semantic_dedup_drop_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.similarity import semantic_dedup
+
+    # One centroid → one cluster. v0 ~ v1 ~ v2 chain where sim(v0,v2) < tau:
+    # v1 drops (earlier v0), v2 drops too (earlier v1 shadows even though v1
+    # itself dropped — the documented non-cascading rule). v3 is orthogonal.
+    v0 = np.zeros(8); v0[0] = 1.0
+    v1 = np.zeros(8); v1[0] = 0.8; v1[1] = 0.6
+    v2 = np.zeros(8); v2[0] = 0.3; v2[1] = 0.954
+    v3 = np.zeros(8); v3[7] = 1.0
+    assert v0 @ v2 < 0.5 and v0 @ v1 > 0.5 and (v1 @ v2) / np.linalg.norm(v1) / np.linalg.norm(v2) > 0.5
+    t = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "embedding": pa.array([v.tolist() for v in (v0, v1, v2, v3)], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        semantic_dedup(ray.data.from_arrow(t), np.ones((1, 8)), threshold=0.5)
+        .to_pandas().sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == [10, 13]
