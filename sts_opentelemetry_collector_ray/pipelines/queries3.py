@@ -1397,6 +1397,49 @@ SELECT doc_id,
 FROM k WHERE rn = 1 GROUP BY doc_id"""
 
 
+def q_docs_bloom_contamination(sf_dir: str):
+    """Bloom-filter decontamination: the probe 5-gram set compressed to a 65536-bit
+    Bloom filter (FNV-1a64 double hashing, k=5) — the O(1)-memory broadcast a
+    100 TB run ships when the benchmark suite outgrows an exact string set.
+    False positives are deterministic, so the oracle replays membership —
+    including every FP — bit-for-bit (stages/dedup_docs.py::bloom_contamination)."""
+    from ..stages.dedup_docs import bloom_contamination
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bloom_contamination(ds)
+
+
+_FNV64_GRAM = (
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+    "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), "
+    "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616)"
+)
+
+ORACLES3["docs_bloom_contamination"] = f"""
+WITH f AS (SELECT doc_id, {_FNV32_DOC20} AS hsel, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, hsel,
+             unnest(list_transform(range(1, len(t) - 3), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      FROM f WHERE len(t) >= 5),
+d AS (SELECT DISTINCT doc_id, hsel, gram FROM g),
+ps AS (SELECT doc_id, hsel, gram, {_FNV64_GRAM} AS hv FROM d),
+pp AS (SELECT doc_id, hsel, gram, hv % 65536 AS h1,
+              ((hv // 8589934592) % 65535) + 1 AS h2
+       FROM ps),
+bits AS (SELECT DISTINCT CAST((h1 + j.j * h2) % 65536 AS BIGINT) AS bit
+         FROM pp CROSS JOIN unnest(range(0, 5)) AS j(j) WHERE hsel = 0),
+hits AS (
+  SELECT p.doc_id, p.gram
+  FROM pp p
+  CROSS JOIN unnest(range(0, 5)) AS j(j)
+  JOIN bits b ON b.bit = CAST((p.h1 + j.j * p.h2) % 65536 AS BIGINT)
+  WHERE p.hsel <> 0
+  GROUP BY p.doc_id, p.gram
+  HAVING count(*) = 5
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM hits GROUP BY doc_id"""
+
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1430,6 +1473,7 @@ QUERIES3 = {
     "docs_line_dedup_global": q_docs_line_dedup_global,
     "image_augment": q_image_augment,
     "video_scenes": q_video_scenes,
+    "docs_bloom_contamination": q_docs_bloom_contamination,
 }
 
 

@@ -491,6 +491,35 @@ def embedding_neardup_pairs(
     return ex.groupby(["gi", "gj"]).map_groups(verify, batch_format="pandas")
 
 
+def _word_grams(
+    t: "pa.Table", gram_n: int, id_col: str, text_col: str, probe_mod: int
+) -> tuple["pa.Array", np.ndarray, np.ndarray]:
+    """(flat word-gram strings, per-row gram counts, probe mask) for a batch —
+    all Arrow kernels (split, shifted slices, one element-wise join)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a32_arrow
+
+    toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    gcounts = np.maximum(counts - (gram_n - 1), 0)
+    n_flat = len(flat)
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    ok = np.ones(max(n_flat - (gram_n - 1), 0), dtype=bool)
+    if len(ok):
+        ok = row_idx[: len(ok)] == row_idx[gram_n - 1 :]
+    parts = [flat.slice(i, max(n_flat - (gram_n - 1), 0)) for i in range(gram_n)]
+    sel = pa.array(ok)
+    joined = parts[0].filter(sel)
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p.filter(sel), " ")
+    ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+    probe = (fnv1a32_arrow(ids) % np.uint64(probe_mod)) == 0
+    return joined, gcounts, probe
+
+
 def contamination_check(
     ds: "ray.data.Dataset",
     probe_mod: int = 20,
@@ -516,28 +545,8 @@ def contamination_check(
     """
     import pyarrow.compute as pc
 
-    from ..functions.hashing import fnv1a32_arrow
-
     def _grams(t: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-        """(flat gram strings, per-row gram counts, probe mask) for a batch."""
-        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = toks.flatten()
-        gcounts = np.maximum(counts - (gram_n - 1), 0)
-        n_flat = len(flat)
-        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        ok = np.ones(max(n_flat - (gram_n - 1), 0), dtype=bool)
-        if len(ok):
-            ok = row_idx[: len(ok)] == row_idx[gram_n - 1 :]
-        parts = [flat.slice(i, max(n_flat - (gram_n - 1), 0)) for i in range(gram_n)]
-        sel = pa.array(ok)
-        joined = parts[0].filter(sel)
-        for p in parts[1:]:
-            joined = pc.binary_join_element_wise(joined, p.filter(sel), " ")
-        ids = pc.cast(t[id_col], pa.string()).combine_chunks()
-        probe = (fnv1a32_arrow(ids) % np.uint64(probe_mod)) == 0
-        return joined, gcounts, probe
+        return _word_grams(t, gram_n, id_col, text_col, probe_mod)
 
     def probe_grams(t: pa.Table) -> pa.Table:
         joined, gcounts, probe = _grams(t)
@@ -569,6 +578,84 @@ def contamination_check(
         keep = (~probe) & (n_shared > 0)
         return pa.table(
             {id_col: t[id_col], "n_shared": pa.array(n_shared, pa.int64())}
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the O(1)-memory probe structure at scale
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # ~10+ bits per probe gram at the gate scale; size with the probe set
+BLOOM_K = 5
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch–Mitzenmacher double hashing off ONE
+    fnv1a64: pos_j = (h % m + j * (1 + (h >> 33) % (m-1))) % m. Pure uint64
+    arithmetic — the DuckDB oracle replays it in HUGEINT exactly."""
+    h = np.asarray(h, dtype=np.uint64)
+    h1 = h % np.uint64(n_bits)
+    h2 = (h >> np.uint64(33)) % np.uint64(n_bits - 1) + np.uint64(1)
+    j = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def bloom_contamination(
+    ds: "ray.data.Dataset",
+    probe_mod: int = 20,
+    gram_n: int = 5,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """`contamination_check` with the probe set compressed into a Bloom filter:
+    the structure a 100 TB run actually broadcasts when the benchmark suite is
+    too large for an exact string set (bits are O(n_bits) regardless of probe
+    size vs. the exact set's O(Σ|gram|)). False positives are INHERENT and
+    DETERMINISTIC (FNV double hashing, no RNG), so the DuckDB oracle replays
+    membership — including every false positive — bit-for-bit.
+
+    Output: (doc_id, n_flagged) per non-probe doc with ≥1 distinct gram whose
+    k bloom bits are all set by the probe side."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64_arrow
+
+    def probe_bits(t: pa.Table) -> pa.Table:
+        joined, gcounts, probe = _word_grams(t, gram_n, id_col, text_col, probe_mod)
+        keep = np.repeat(probe, gcounts)
+        u = pc.unique(joined.filter(pa.array(keep)))
+        pos = np.unique(_bloom_positions(fnv1a64_arrow(u), n_bits, k))
+        return pa.table({"bit": pa.array(pos.astype(np.int64), pa.int64())})
+
+    # probe side: bounded — distinct set bits, not grams, reach the driver
+    bits_tbl = ds.map_batches(probe_bits, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(n_bits, dtype=bool)
+    bloom[np.unique(bits_tbl["bit"].to_numpy())] = True
+    bloom_ref = ray.put(bloom)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        joined, gcounts, probe = _word_grams(t, gram_n, id_col, text_col, probe_mod)
+        row_idx = np.repeat(np.arange(len(gcounts), dtype=np.int64), gcounts)
+        pos = _bloom_positions(fnv1a64_arrow(joined), n_bits, k)
+        hit = bits[pos].all(axis=1)
+        sub = pa.table(
+            {"r": pa.array(row_idx[hit]), "g": joined.filter(pa.array(hit))}
+        )
+        d = (
+            sub.group_by(["r", "g"]).aggregate([])
+            .group_by(["r"]).aggregate([("g", "count")])
+        )
+        n_flagged = np.zeros(len(gcounts), dtype=np.int64)
+        if d.num_rows:
+            n_flagged[d["r"].to_numpy()] = d["g_count"].to_numpy()
+        keep = (~probe) & (n_flagged > 0)
+        return pa.table(
+            {id_col: t[id_col], "n_flagged": pa.array(n_flagged, pa.int64())}
         ).filter(pa.array(keep))
 
     return ds.map_batches(scan, batch_format="pyarrow")

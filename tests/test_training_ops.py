@@ -411,3 +411,54 @@ def test_semantic_dedup_drop_rule(ray_session):
         .to_pandas().sort_values("vec_id")
     )
     assert out["vec_id"].tolist() == [10, 13]
+
+
+def test_bloom_contamination_deterministic_fps(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.functions.hashing import fnv1a32, fnv1a64
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import (
+        _bloom_positions, bloom_contamination,
+    )
+
+    # doc ids chosen so exactly one is a probe (fnv32(str(id)) % 20 == 0)
+    ids = [i for i in range(200) if fnv1a32(str(i)) % 20 == 0][:1]
+    probe_id = ids[0]
+    rows = {
+        probe_id: "a b c d e f",                       # probe: grams {a b c d e, b c d e f}
+        next(i for i in range(200) if fnv1a32(str(i)) % 20 != 0): "a b c d e x y z w v",  # true hit
+    }
+    # add non-probe filler docs; with a TINY bloom some must flag as FPs
+    filler = [i for i in range(200) if fnv1a32(str(i)) % 20 != 0 and i not in rows][:30]
+    for j, i in enumerate(filler):
+        rows[i] = f"w{j} q{j} r{j} s{j} t{j} u{j} v{j}"
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": [rows[i] for i in rows],
+        }
+    )
+    out = (
+        bloom_contamination(ray.data.from_arrow(t), n_bits=64, k=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute-force replay of the same bloom: same probe grams, same positions
+    def grams(s):
+        w = s.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+    bits = np.zeros(64, dtype=bool)
+    for g in grams(rows[probe_id]):
+        bits[_bloom_positions(np.array([fnv1a64(g)], np.uint64), 64, 2)[0]] = True
+    expect = {}
+    for i, s in rows.items():
+        if i == probe_id:
+            continue
+        n = sum(bool(bits[_bloom_positions(np.array([fnv1a64(g)], np.uint64), 64, 2)[0]].all()) for g in grams(s))
+        if n:
+            expect[i] = n
+    got = dict(zip(out["doc_id"], out["n_flagged"]))
+    assert got == expect
+    # the tiny filter must actually produce false positives beyond the true hit
+    assert len(expect) > 1
