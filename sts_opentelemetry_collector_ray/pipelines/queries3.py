@@ -1440,6 +1440,28 @@ hits AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM hits GROUP BY doc_id"""
 
 
+def q_events_rolling(sf_dir: str):
+    """Per-user rolling sum over the last 3 events in (ts, event_id) order —
+    the ordered stateful scan behind running per-key metrics. One bounded
+    user-bucket exchange + vectorized prefix-sum difference; values sum as
+    exact integer cents (stages/clusters.py::rolling_sum)."""
+    from ..stages.clusters import rolling_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rolling_sum(ds, window_rows=3)
+
+
+ORACLES3["events_rolling"] = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS roll_sum,
+       CAST(count(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1474,6 +1496,7 @@ QUERIES3 = {
     "image_augment": q_image_augment,
     "video_scenes": q_video_scenes,
     "docs_bloom_contamination": q_docs_bloom_contamination,
+    "events_rolling": q_events_rolling,
 }
 
 

@@ -231,3 +231,57 @@ def sessionize(
     return b.groupby("_bucket").map_groups(
         lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
+
+
+def rolling_sum(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 3,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key rolling aggregate over the last ``window_rows`` events in
+    (ts, id) order — the ordered stateful scan behind per-user running
+    metrics. Same shape as `sessionize`: ONE bounded key-bucket exchange, then
+    a vectorized prefix-sum-difference per bucket (no per-key Python).
+
+    Exactness contract: 2-decimal values are summed as integer cents
+    (``round(value*100)`` is exactly representable), so the rolling sums are
+    bit-identical to the SQL window replay — a float cumsum difference would
+    drift in the last ulp."""
+    import pyarrow as pa  # noqa: F401  (batch_format pandas; Arrow upstream)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(
+                pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+            ).astype(np.int32)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        n = len(g)
+        cents = np.round(g[val_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        key = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        starts = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - (window_rows - 1), starts)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: key,
+                "roll_sum": (cs[idx + 1] - cs[lo]) / 100.0,
+                "n_window": (idx + 1 - lo).astype(np.int64),
+            }
+        )
+
+    b = events.map_batches(bucketize, batch_format="pandas")
+    return b.groupby("_bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
