@@ -1462,6 +1462,66 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
 
 
+def q_events_jsonl_ingest(sf_dir: str):
+    """JSON wire-format ingest (the OTLP/HTTP JSON receiver analogue, S1
+    family): the events stream is materialized once as JSONL under /tmp
+    (Ray `write_json`, idempotent per sf), re-ingested with
+    `ray.data.read_json`, and aggregated — proving the non-parquet source
+    path end-to-end. Values aggregate as exact integer cents."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    jdir = f"/tmp/graft_jsonl_{tag}"
+    marker = os.path.join(jdir, "_DONE")
+    if not os.path.exists(marker):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        ds.write_json(jdir)
+        open(marker, "w").write("ok")
+    j = ray.data.read_json(
+        [os.path.join(jdir, f) for f in sorted(os.listdir(jdir)) if f.endswith(".json")]
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "cents": cents})
+            .group_by(["event_type"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return g.rename_columns(["event_type", "pc", "pn"])
+
+    from ray.data.aggregate import Sum
+
+    part = j.map_batches(agg, batch_format="pyarrow")
+    out = part.groupby("event_type").aggregate(
+        Sum("pc", alias_name="c"), Sum("pn", alias_name="n_events")
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "total_value": pc.divide(pc.cast(t["c"], pa.float64()), 100.0),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+ORACLES3["events_jsonl_ingest"] = """
+SELECT event_type,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type"""
+
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1497,6 +1557,7 @@ QUERIES3 = {
     "video_scenes": q_video_scenes,
     "docs_bloom_contamination": q_docs_bloom_contamination,
     "events_rolling": q_events_rolling,
+    "events_jsonl_ingest": q_events_jsonl_ingest,
 }
 
 
