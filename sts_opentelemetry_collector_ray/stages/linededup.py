@@ -144,6 +144,14 @@ def _assemble_docs(t: pa.Table) -> pa.Table:
     t = t.take(order)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
     m = len(doc)
+    if m == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        )
     change = np.empty(m, dtype=bool)
     change[0] = True
     change[1:] = doc[1:] != doc[:-1]
