@@ -1522,6 +1522,72 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+def q_docs_length_filter(sf_dir: str):
+    """Quantile-threshold filtering — the two-pass shape for 'drop the shortest
+    10% of the corpus' at scale: pass 1 reduces the corpus to ONE mergeable
+    128-bin log sketch (O(bins) driver state) whose P10 estimate becomes the
+    threshold; pass 2 streams the corpus through a vectorized length filter.
+    The sketch estimate is approximate by design but fully deterministic, so
+    the oracle replays bins → pick → geometric midpoint → filter exactly."""
+    import pyarrow.compute as pc
+
+    from ..stages.quantiles import quantile_sketch
+
+    def ntok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    def counted():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(ntok, batch_format="pyarrow")
+
+    thr = float(
+        quantile_sketch(counted(), "n_tokens", qs=[0.1])["estimate"].iloc[0]
+    )
+    return counted().map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.cast(t["n_tokens"], pa.float64()), thr)),
+        batch_format="pyarrow",
+    )
+
+
+def _docs_length_filter_oracle() -> str:
+    from ..stages.quantiles import _EDGES, _HI, _LO
+
+    e_sql = "CAST([" + ", ".join(repr(float(x)) for x in _EDGES) + "] AS DOUBLE[])"
+    n_edges = len(_EDGES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+vals AS (
+  SELECT greatest(CAST({_LO!r} AS DOUBLE),
+                  least(CAST(n_tokens AS DOUBLE), CAST({_HI - 1!r} AS DOUBLE))) AS v
+  FROM toks
+),
+binned AS (SELECT len(list_filter({e_sql}, e -> e <= v)) AS b FROM vals),
+counts AS (SELECT b, COUNT(*) AS c FROM binned GROUP BY 1),
+tot AS (SELECT SUM(c) AS total FROM counts),
+cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM counts),
+pick AS (SELECT MIN(c.b) AS bsel FROM tot t JOIN cum c ON c.cum >= 0.1 * t.total),
+thr AS (
+  SELECT sqrt(
+    CASE WHEN bsel > 0 THEN ({e_sql})[bsel] ELSE CAST({_LO!r} AS DOUBLE) END *
+    CASE WHEN bsel < {n_edges} THEN ({e_sql})[bsel + 1] ELSE CAST({_HI!r} AS DOUBLE) END
+  ) AS t FROM pick
+)
+SELECT doc_id, n_tokens FROM toks, thr WHERE CAST(n_tokens AS DOUBLE) >= thr.t"""
+
+
+ORACLES3["docs_length_filter"] = _docs_length_filter_oracle()
+
+
 QUERIES3 = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1558,6 +1624,7 @@ QUERIES3 = {
     "docs_bloom_contamination": q_docs_bloom_contamination,
     "events_rolling": q_events_rolling,
     "events_jsonl_ingest": q_events_jsonl_ingest,
+    "docs_length_filter": q_docs_length_filter,
 }
 
 
