@@ -285,3 +285,83 @@ def rolling_sum(
     return b.groupby("_bucket").map_groups(
         lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: "ray.data.Dataset",
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: for each key, the earliest completion chain
+    through ``steps`` — t1 = min ts of step 1, and t_{i+1} = min ts of step i+1
+    STRICTLY after t_i (the standard strict-ordering funnel contract; two steps
+    at the same timestamp do not chain). One row per key that reached step 1:
+    (key, steps_completed, ts_first_us, ts_last_us) with ts_last the timestamp
+    of the deepest step reached.
+
+    Scale shape — same as `sessionize`: ONE bounded key-bucket exchange brings
+    each key's events together, then the chain is computed with per-step
+    vectorized filter + groupby-min scans inside the bucket (the Python loop is
+    over len(steps), not rows). Keys never leave their bucket, so the result is
+    bucket-count independent.
+    """
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(
+                pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+            ).astype(np.int32)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[type_col].isin(set(steps))]
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=np.int64),
+                "steps_completed": pd.Series([], dtype=np.int64),
+                "ts_first_us": pd.Series([], dtype=np.int64),
+                "ts_last_us": pd.Series([], dtype=np.int64),
+            }
+        )
+        if g.empty:
+            return empty
+        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        flat = pd.DataFrame(
+            {key_col: g[key_col].to_numpy(), "_t": us, "_e": g[type_col].to_numpy()}
+        )
+        mins: list[pd.Series] = []
+        cur: pd.Series | None = None
+        for s in steps:
+            ev = flat[flat["_e"] == s]
+            if cur is not None:
+                # NaN (key missing from the previous step) compares False
+                ev = ev[ev["_t"].to_numpy() > ev[key_col].map(cur).to_numpy()]
+            cur = ev.groupby(key_col)["_t"].min()
+            mins.append(cur)
+        if mins[0].empty:
+            return empty
+        res = mins[0].rename("ts_first_us").to_frame()
+        res["steps_completed"] = np.int64(1)
+        res["ts_last_us"] = res["ts_first_us"]
+        for m in mins[1:]:
+            # each step's key set is a subset of the previous step's, so
+            # membership sums to the chain depth
+            mm = res.index.to_series().map(m)
+            has = mm.notna().to_numpy()
+            res.loc[has, "steps_completed"] += 1
+            # epoch-us values are < 2**53, exact in the float64 roundtrip
+            res.loc[has, "ts_last_us"] = mm[has].astype(np.int64)
+        out = res.reset_index()
+        out["steps_completed"] = out["steps_completed"].astype(np.int64)
+        return out[[key_col, "steps_completed", "ts_first_us", "ts_last_us"]]
+
+    b = events.map_batches(bucketize, batch_format="pandas")
+    return b.groupby("_bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )

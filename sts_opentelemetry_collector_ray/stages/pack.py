@@ -257,3 +257,82 @@ def pack_documents(
         return df.drop(columns=["bucket"])
 
     return local.map_batches(renumber, batch_format="pandas")
+
+
+def chunk_token_stream(
+    ds: "ray.data.Dataset",
+    seq_len: int = 256,
+    docs_per_bucket: int = DOCS_PER_BUCKET,
+) -> "ray.data.Dataset":
+    """GPT-style concat-and-chunk sequence packing: the corpus token stream in
+    doc_id order is cut into fixed ``seq_len``-token training sequences that
+    CROSS document boundaries (the pretraining data layout; contrast
+    ``pack_documents``, which is first-fit bin packing that never splits a
+    document). Output is one row per document — its global token offset and
+    the range of sequence indices its tokens land in: (doc_id, n_tokens,
+    tok_start, seq_start, seq_end, n_seqs). That is the assignment a sequence
+    writer needs; the text itself streams straight from scan to sink.
+
+    Scale shape: two streaming passes over the scan, no full materialization.
+    Pass 1 aggregates ONE token total per ``docs_per_bucket``-sized doc_id
+    range (|corpus|/1024 tiny rows reach the driver), which the driver
+    exclusive-scans into per-bucket global token offsets and broadcasts
+    (``ray.put``). Pass 2 re-derives per-doc counts and positions each doc
+    with one vectorized cumsum per BOUNDED bucket group; the only exchange is
+    the bucket groupby. Re-tokenizing in both passes is deliberate — carrying
+    per-doc counts between passes would mean materializing |corpus| rows.
+    """
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        did = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_tokens": n,
+                "_bucket": pc.divide(did, pa.scalar(docs_per_bucket, pa.int64())),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+    )
+    totals = totals.sort_values("_bucket")
+    tot = totals["tot"].to_numpy(dtype=np.int64)
+    starts = np.cumsum(tot) - tot
+    offsets = dict(zip(totals["_bucket"].astype(int), starts.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = off[int(g["_bucket"].iloc[0])] + (np.cumsum(n) - n)
+        # n >= 1 always (split of '' is ['']), so `last` is the final token's
+        # global position and the doc's sequence range is [start//L, last//L]
+        last = start + np.maximum(n, 1) - 1
+        seq_start = start // seq_len
+        seq_end = last // seq_len
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "tok_start": start,
+                "seq_start": seq_start,
+                "seq_end": seq_end,
+                "n_seqs": seq_end - seq_start + 1,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
