@@ -29,8 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries2 import QUERIES2
     from sts_opentelemetry_collector_ray.pipelines.queries3 import QUERIES3
     from sts_opentelemetry_collector_ray.pipelines.queries4 import QUERIES4
+    from sts_opentelemetry_collector_ray.pipelines.queries5 import QUERIES5
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -41,5 +42,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries2 import ORACLES2
     from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3, dynamic_oracles
     from sts_opentelemetry_collector_ray.pipelines.queries4 import ORACLES4, dynamic_oracles4
+    from sts_opentelemetry_collector_ray.pipelines.queries5 import ORACLES5
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **dynamic_oracles(), **dynamic_oracles4()}

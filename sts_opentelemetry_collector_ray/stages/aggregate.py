@@ -104,3 +104,68 @@ def cardinality_cap(
         .groupby([metric_col, attr_col])
         .aggregate(Sum("n_part", alias_name="n"))
     )
+
+
+ROLLUP_ALL = "__all__"
+ROLLUP_ALL_HOUR = -1
+
+
+def rollup_hourly(ds: "ray.data.Dataset") -> "pa.Table":
+    """ROLLUP(event_type, hour) counts + exact value sums — the OLAP-cube
+    aggregation a metrics backend materializes at multiple granularities
+    (per-type-per-hour, per-type, grand total), in ONE pass over the data.
+
+    Money-style values are summed as integer cents (floor(value·100 + 0.5)) so
+    the sum is exact under any summation order — the same trick as the rolling
+    window aggregate; coarser levels are then derived by re-aggregating the
+    FINEST level's partials (bounded: |types|·|hours| rows), never by a second
+    scan. Sentinels: event_type='__all__', hour_us=-1 mark rolled-up levels.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())  # us since epoch
+        hour_us = pc.multiply(pc.divide(ts, 3600_000_000), 3600_000_000)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour_us": hour_us,
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by(["event_type", "hour_us"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "hour_us", "c_p", "n_p"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("c_p", alias_name="value_cents"))
+        .to_pandas()  # bounded: |types| × |hours|
+    )
+    lvl1 = (
+        finest.groupby("event_type", as_index=False)[["n", "value_cents"]]
+        .sum()
+        .assign(hour_us=ROLLUP_ALL_HOUR)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "event_type": [ROLLUP_ALL],
+            "hour_us": [ROLLUP_ALL_HOUR],
+            "n": [finest["n"].sum()],
+            "value_cents": [finest["value_cents"].sum()],
+        }
+    )
+    cols = ["event_type", "hour_us", "n", "value_cents"]
+    out = pd.concat([finest[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    return pa.Table.from_pandas(
+        out.astype({"hour_us": "int64", "n": "int64", "value_cents": "int64"}),
+        preserve_index=False,
+    ).replace_schema_metadata(None)

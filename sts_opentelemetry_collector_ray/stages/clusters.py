@@ -365,3 +365,67 @@ def funnel(
     return b.groupby("_bucket").map_groups(
         lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
+
+
+def reassemble_conversations(
+    ds: "ray.data.Dataset",
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-conversation document assembly: every conversation's turns joined in
+    turn order into ONE training document (the transcript → SFT-document step).
+    Output: (key, n_turns, full_text).
+
+    Scale shape — the sessionize pattern: ONE bounded exchange on
+    ``hash(key) % num_buckets`` co-locates each conversation's turns; inside a
+    bucket the join is fully vectorized (one mergesort, boundary mask →
+    ListArray offsets → ONE Arrow ``binary_join``), never a per-conversation
+    Python join. Conversations never straddle buckets, so the result is
+    bucket-count independent.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _bucket=(
+                pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+            ).astype(np.int32)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "full_text": pd.Series([], dtype=object),
+                }
+            )
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(g)))
+        texts = pa.array(g[text_col].fillna("").to_numpy(), pa.string())
+        offs = np.append(starts, len(g)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), texts), " "
+        )
+        return pd.DataFrame(
+            {
+                key_col: key[starts],
+                "n_turns": counts.astype(np.int64),
+                "full_text": joined.to_pandas().to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -336,3 +336,74 @@ def chunk_token_stream(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def chunk_overlap(
+    ds: "ray.data.Dataset", window: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """RAG-style overlapping chunking: each document's word stream is cut into
+    ``window``-word chunks every ``stride`` words (the last chunk may be
+    shorter; a document shorter than ``window`` yields exactly one chunk).
+    Output one row per chunk: (doc_id, chunk_idx, n_words, chunk_text) — the
+    retrieval-index layout a RAG ingestion pipeline writes.
+
+    Pure ``map_batches`` kernel, zero shuffles, zero per-row Python: split →
+    flatten once, then every chunk's words are gathered with ONE vectorized
+    ``take`` (the repeat+arange index trick) and re-joined with ONE Arrow
+    ``binary_join``. Overlapping ranges can't be expressed as ListArray
+    offsets over the shared buffer (offsets must partition), hence the gather.
+    """
+    import pyarrow.compute as pc
+
+    def inner(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_off = np.concatenate(([0], np.cumsum(n)))
+        # chunks per doc: 1 + ceil(max(0, n - window) / stride)
+        extra = np.maximum(n - window, 0)
+        n_chunks = 1 + (extra + stride - 1) // stride
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_idx = np.arange(total, dtype=np.int64) - first[doc_of]
+        w_start = chunk_idx * stride
+        w_end = np.minimum(w_start + window, n[doc_of])
+        lens = w_end - w_start
+        g_start = doc_off[doc_of] + w_start
+        # gather indices: for chunk c, g_start[c] .. g_start[c]+lens[c]-1
+        m = int(lens.sum())
+        cum = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(g_start - cum, lens) + np.arange(m, dtype=np.int64)
+        taken = flat.take(pa.array(idx))
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), taken), " "
+        )
+        doc_ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_of]),
+                "chunk_idx": pa.array(chunk_idx),
+                "n_words": pa.array(lens),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return ds.map_batches(inner, batch_format="pyarrow")

@@ -393,3 +393,102 @@ def lm_score_pipeline(ds: "ray.data.Dataset", col: str = "text") -> "ray.data.Da
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def collapse_repeats_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Consecutive-duplicate-token collapse — the "thanks thanks thanks" web-text
+    normalization (a C4-family cleanup that RE2 cannot express because it needs a
+    backreference; done here as a flat word-stream mask instead). Keeps the first
+    of every run of identical adjacent words; output (doc_id, clean_text, n_words,
+    n_removed). Pure map_batches kernel: one split, one boundary mask over the
+    flattened stream, one binary_join — no per-row Python."""
+    import pyarrow.compute as pc
+
+    text = t[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    n_rows = len(text)
+    m = len(flat)
+    row_id = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    keep = np.ones(m, dtype=bool)
+    if m > 1:
+        same_row = row_id[1:] == row_id[:-1]
+        same_word = pc.equal(flat.slice(1), flat.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep[1:] = ~(same_row & same_word)
+    kept_counts = np.bincount(row_id[keep], minlength=n_rows).astype(np.int64)
+    # rows with empty text keep their single '' token, so kept_counts >= 1
+    offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat.filter(pa.array(keep))),
+        " ",
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "clean_text": clean,
+            "n_words": pa.array(kept_counts),
+            "n_removed": pa.array(counts - kept_counts),
+        }
+    )
+
+
+def postings_topdf(
+    ds: "ray.data.Dataset", k: int = 50
+) -> "ray.data.Dataset":
+    """Inverted-index build, bounded to the k highest-document-frequency terms:
+    (term, doc_id) posting pairs for every term in the top-k by (df desc, term
+    asc). Two streaming passes: (1) document frequency via the per-batch
+    DISTINCT (doc, term) combiner → hash aggregate over the bounded vocabulary
+    → tiny sort+limit, broadcast as a set; (2) re-tokenize and emit only pairs
+    whose term is in the keep set. Postings stream straight to the sink — the
+    index build never materializes."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        did = pc.cast(t["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pairs = (
+            pa.table({"doc_id": pa.array(np.repeat(did, counts)), "term": flat})
+            .filter(pc.not_equal(pc.field("term"), ""))
+            .group_by(["doc_id", "term"])
+            .aggregate([])
+        )
+        return pairs
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = distinct_pairs(t).group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "pn"])
+
+    top = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pn", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # bounded: k rows
+    )
+    keep_ref = ray.put(set(top["term"]))
+
+    def emit(t: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        pairs = distinct_pairs(t)
+        mask = pc.is_in(pairs["term"], value_set=pa.array(sorted(keep), pa.string()))
+        out = pairs.filter(mask)
+        return out.select(["term", "doc_id"])
+
+    return ds.map_batches(emit, batch_format="pyarrow")
