@@ -30,8 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries3 import QUERIES3
     from sts_opentelemetry_collector_ray.pipelines.queries4 import QUERIES4
     from sts_opentelemetry_collector_ray.pipelines.queries5 import QUERIES5
+    from sts_opentelemetry_collector_ray.pipelines.queries6 import QUERIES6
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,5 +44,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3, dynamic_oracles
     from sts_opentelemetry_collector_ray.pipelines.queries4 import ORACLES4, dynamic_oracles4
     from sts_opentelemetry_collector_ray.pipelines.queries5 import ORACLES5
+    from sts_opentelemetry_collector_ray.pipelines.queries6 import ORACLES6
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **dynamic_oracles(), **dynamic_oracles4()}

@@ -492,3 +492,25 @@ def postings_topdf(
         return out.select(["term", "doc_id"])
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def normalize_text_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Canonical text form for dedup keys (every dedup pipeline normalizes
+    before hashing — cf. Lee et al. 2021 §3): lowercase, non-alphanumerics →
+    space, runs of spaces collapsed, ends trimmed. All Arrow RE2 kernels, zero
+    shuffles; DuckDB replays with lower + regexp_replace(..., 'g') on the same
+    RE2 engine, so the bytes match exactly."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t[col], "")
+    low = pc.utf8_lower(txt)
+    alnum = pc.replace_substring_regex(low, r"[^a-z0-9 ]+", " ")
+    one = pc.replace_substring_regex(alnum, r" +", " ")
+    norm = pc.utf8_trim(one, " ")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "norm_text": norm,
+            "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+        }
+    )
