@@ -31,8 +31,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries4 import QUERIES4
     from sts_opentelemetry_collector_ray.pipelines.queries5 import QUERIES5
     from sts_opentelemetry_collector_ray.pipelines.queries6 import QUERIES6
+    from sts_opentelemetry_collector_ray.pipelines.queries7 import QUERIES7
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -45,5 +46,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries4 import ORACLES4, dynamic_oracles4
     from sts_opentelemetry_collector_ray.pipelines.queries5 import ORACLES5
     from sts_opentelemetry_collector_ray.pipelines.queries6 import ORACLES6
+    from sts_opentelemetry_collector_ray.pipelines.queries7 import ORACLES7
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **dynamic_oracles(), **dynamic_oracles4()}

@@ -659,3 +659,98 @@ def bloom_contamination(
         ).filter(pa.array(keep))
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def neardup_best_docs(
+    ds: "ray.data.Dataset",
+    quality_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_buckets: int = 64,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Near-dup dedup keeping the BEST doc per cluster (not the first): the
+    production dedup recipe keeps the highest-quality member of each near-dup
+    family (longest / best-scored), not an arbitrary representative.
+
+    MinHash-LSH pairs → in-cluster connected components → (1) one bucketed
+    merge by doc_id assigns each doc its component label (own id when it is in
+    no component), (2) one bucketed exchange by LABEL elects the per-cluster
+    winner with a vectorized sort + first-wins (max quality, tie → min id).
+    Both exchanges are bounded-bucket; neither the drop set nor the labels
+    ever ride through the driver.
+
+    ``ds`` is consumed twice (signatures, election) — pass a re-readable
+    source, not a derived lazy pipeline (CLAUDE.md branch rule)."""
+    from .clusters import connected_components_distributed
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, **lsh_kwargs,
+    )
+    labels = connected_components_distributed(pairs)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        b = (
+            pd.util.hash_array(ids.to_numpy(zero_copy_only=False)) % num_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: ids,
+                "_q": t[quality_col].combine_chunks().cast(pa.int64()),
+                "_label": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "_bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        node = t["node"].cast(pa.int64())
+        b = (
+            pd.util.hash_array(node.to_numpy(zero_copy_only=False)) % num_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: node,
+                "_q": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "_label": t["label"].cast(pa.int64()),
+                "_bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["_label"] >= 0].set_index(id_col)["_label"]
+        docs = g[g["_label"] < 0]
+        out = docs[[id_col, "_q"]].copy()
+        mapped = docs[id_col].map(lab)
+        out["_label"] = mapped.fillna(docs[id_col]).astype(np.int64)
+        return out
+
+    merged = (
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(lambda g: assign(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_lbucket"] = (
+            pd.util.hash_array(df["_label"].to_numpy(dtype=np.int64)) % num_buckets
+        ).astype(np.int32)
+        return df
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        # max quality wins, tie → min id: one vectorized sort + first-wins
+        w = g.sort_values(["_label", "_q", id_col], ascending=[True, False, True])
+        w = w.drop_duplicates("_label", keep="first")
+        return w[[id_col]]
+
+    return (
+        merged.map_batches(rebucket, batch_format="pandas")
+        .groupby("_lbucket")
+        .map_groups(lambda g: elect(g.drop(columns=["_lbucket"])), batch_format="pandas")
+    )

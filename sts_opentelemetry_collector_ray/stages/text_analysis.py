@@ -514,3 +514,74 @@ def normalize_text_batch(t: pa.Table, col: str = "text") -> pa.Table:
             "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
         }
     )
+
+
+def entropy_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Byte-level Shannon entropy per document — the classic gibberish /
+    compressibility quality signal (low entropy = repeated filler, high =
+    random noise; cf. the entropy filters in CCNet-family cleanups).
+
+    Whole-batch kernel: the UTF-8 bytes are read ZERO-COPY off the Arrow
+    buffers (functions/hashing.py::_arrow_string_bytes), one np.bincount over
+    (doc_idx * 256 + byte) builds every per-doc histogram at once, and the
+    -p·ln p terms are summed as integer MICRO-NATS (floor(x*1e6 + .5) per
+    (doc, byte) term) so the result is order-independent and exactly
+    SQL-replayable. Empty/null docs get a NULL entropy. For the ASCII corpora
+    this engine tests on, byte-level == character-level, which is what the
+    DuckDB oracle computes."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import _arrow_string_bytes
+
+    txt = pc.fill_null(t[col], "")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    data, starts, lens = _arrow_string_bytes(txt)
+    n = len(lens)
+    h_micro = np.zeros(n, dtype=np.int64)
+    if n and lens.sum():
+        doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # string offsets are contiguous by construction: the batch's bytes are
+        # one dense region starting at starts[0]
+        used = data[starts[0] : starts[0] + int(lens.sum())].astype(np.int64)
+        key = doc_of_byte * 256 + used
+        counts = np.bincount(key, minlength=n * 256).reshape(n, 256)
+        ln = np.maximum(lens, 1).astype(np.float64)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(counts > 0, (counts / ln) * np.log(ln / counts), 0.0)
+        h_micro = np.floor(term * 1e6 + 0.5).astype(np.int64).sum(axis=1)
+    nz = lens > 0
+    ent = pa.array(h_micro, pa.int64())
+    if not nz.all():
+        ent = pa.Array.from_pandas(
+            np.where(nz, h_micro.astype(float), np.nan), type=pa.int64()
+        )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(lens, pa.int64()),
+            "entropy_micro": ent,
+        }
+    )
+
+
+def html_strip_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Boilerplate strip for web-crawl text: drop <...> tags, decode-or-drop
+    HTML entities (&amp; &#39; ...), collapse whitespace runs, trim. All Arrow
+    RE2 kernels (replace_substring_regex), zero shuffles — the first stage of
+    every web-scale text pipeline (C4/CCNet run exactly this shape before any
+    quality pass). DuckDB replays the same patterns with regexp_replace 'g'."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t[col], "")
+    no_tag = pc.replace_substring_regex(txt, r"<[^>]*>", " ")
+    no_ent = pc.replace_substring_regex(no_tag, r"&[a-zA-Z]+;|&#[0-9]+;", " ")
+    one = pc.replace_substring_regex(no_ent, r"[ \t\r\n]+", " ")
+    clean = pc.utf8_trim(one, " ")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "clean_text": clean,
+            "n_chars": pc.cast(pc.utf8_length(clean), pa.int64()),
+        }
+    )
