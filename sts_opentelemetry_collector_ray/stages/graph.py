@@ -1,0 +1,159 @@
+"""Integer PageRank over an edge Dataset — distributed iterative graph rank.
+
+PageRank in EXACT integer arithmetic so the result is order-independent and
+byte-replayable in SQL (the float formulation is summation-order-dependent and
+can never hash-match an oracle):
+
+    r⁰(v)   = TOTAL // N
+    rᵏ⁺¹(v) = (15·TOTAL) // (100·N)  +  (85 · Σ_{(u,v)∈E} (rᵏ(u) // deg(u))) // 100
+
+with TOTAL = 10¹² rank units. Dangling-node mass (outdeg 0) is dropped — the
+standard "remove dangling" variant — and the damping split is 85/100 integer
+division; both choices are part of the operator's documented contract and the
+oracle replays them exactly.
+
+Scale shape (the connected-components pattern, stages/clusters.py): edges are
+bucketed ONCE by hash(src) and materialized; each iteration is two BOUNDED
+bucket exchanges — (1) *scatter*: rank rows meet their bucket's edges, one
+vectorized pandas merge emits (dst, rank//deg) contributions; (2) *gather*:
+contributions + zero rows for every node bucket by hash(node), one vectorized
+groupby-sum finalizes rᵏ⁺¹ for EVERY node (also the in-degree-0 ones). The
+iteration count is fixed; the only driver-side value is N (one int, computed
+once). Bucketed pandas merges instead of `Dataset.join` per the CLAUDE.md
+empty-block rule."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+TOTAL = 10**12
+
+
+def pagerank_integer(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """10-iteration integer PageRank. ``edges`` must be DISTINCT (src, dst)
+    pairs; returns (node, rank_int)."""
+    B = np.uint64(num_buckets)
+
+    def hb(a: np.ndarray) -> np.ndarray:
+        return (a.astype(np.uint64) % B).astype(np.int32)
+
+    # --- one-time prep: per-src outdegree riding on each edge row ------------
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src": t[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                "dst": t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return df.assign(_b=hb(df["src"].to_numpy()))
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("src")["dst"].transform("size").astype(np.int64)
+        return pd.DataFrame(
+            {"src": g["src"], "dst": g["dst"], "deg": deg, "r": np.int64(-1)}
+        )
+
+    edges_b = (
+        edges.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(attach_deg, batch_format="pandas")
+        .map_batches(lambda df: df.assign(_b=hb(df["src"].to_numpy())), batch_format="pandas")
+        .materialize()
+    )
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()]))
+        return pd.DataFrame({"node": n.astype(np.int64)})
+
+    # distinct nodes: per-batch unique → one bounded node-bucket exchange
+    nodes = (
+        edges_b.map_batches(node_rows, batch_format="pandas")
+        .map_batches(lambda df: df.assign(_b=hb(df["node"].to_numpy())), batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: pd.DataFrame({"node": np.unique(g["node"].to_numpy())}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    base = (15 * TOTAL) // (100 * n_nodes)
+    r0 = TOTAL // n_nodes
+
+    zeros = nodes.map_batches(
+        lambda df: df.assign(contrib=np.int64(0), _b=hb(df["node"].to_numpy())),
+        batch_format="pandas",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda df: df.assign(r=np.int64(r0)), batch_format="pandas"
+    ).materialize()
+
+    def rank_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["node"].astype(np.int64),
+                "dst": np.int64(-1),
+                "deg": np.int64(-1),
+                "r": df["r"].astype(np.int64),
+                "_b": hb(df["node"].to_numpy()),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        is_rank = (g["deg"] < 0).to_numpy()
+        rk = g.loc[is_rank, ["src", "r"]].rename(columns={"src": "node"})
+        ed = g.loc[~is_rank, ["src", "dst", "deg"]]
+        m = ed.merge(rk, left_on="src", right_on="node")
+        return pd.DataFrame(
+            {
+                "node": m["dst"].astype(np.int64),
+                "contrib": (m["r"].to_numpy(np.int64) // m["deg"].to_numpy(np.int64)),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", as_index=False)["contrib"].sum()
+        return pd.DataFrame(
+            {
+                "node": s["node"].astype(np.int64),
+                "r": np.int64(base) + (np.int64(85) * s["contrib"].to_numpy(np.int64)) // np.int64(100),
+            }
+        )
+
+    for _ in range(iterations):
+        contribs = (
+            edges_b.union(ranks.map_batches(rank_rows, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(
+                lambda g: scatter(g.drop(columns=["_b"])), batch_format="pandas"
+            )
+        )
+        ranks = (
+            contribs.map_batches(
+                lambda df: df.assign(_b=hb(df["node"].to_numpy())),
+                batch_format="pandas",
+            )
+            .union(zeros)
+            .groupby("_b")
+            .map_groups(
+                lambda g: gather(g.drop(columns=["_b"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype(np.int64), "rank_int": df["r"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )

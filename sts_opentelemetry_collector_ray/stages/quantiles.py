@@ -92,3 +92,63 @@ def quantile_sketch(
             rec["estimate"] = e
             out_rows.append(rec)
     return pd.DataFrame(out_rows)
+
+
+def grouped_quantiles_exact(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    qs: list[tuple[int, int, str]] | None = None,
+) -> "ray.data.Dataset":
+    """EXACT per-key quantiles via value-domain histograms — no global sort.
+
+    The sketch above trades exactness for a fixed bin count; this operator is
+    exact for FIXED-PRECISION domains (money, latencies in integer units):
+    values quantize to integer cents, each batch emits an Arrow group_by
+    (key, cents) count combiner, one bounded shuffle lands |keys| x |distinct
+    cents| count rows, and a per-key cumulative scan picks the discrete
+    quantile. At 100 TB the exchange is the DISTINCT-VALUE histogram, never
+    the rows — exact quantiles without sorting the corpus. (Documented
+    contract: the domain must be bounded for the histogram to be; float
+    payloads with unbounded precision belong in `quantile_sketch`.)
+
+    Quantiles are specified as RATIONALS (num, den, label) and picked at rank
+    ceil(n*num/den) = (n*num + den - 1) // den — all-integer, so the DuckDB
+    replay is byte-exact (no float rank arithmetic)."""
+    import pyarrow.compute as pc
+
+    qs = qs or [(1, 2, "p50"), (9, 10, "p90")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents, pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "cents", "cnt"]).replace_schema_metadata(None)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cnt = g["cnt"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        rows = []
+        for num, den, label in qs:
+            rank = (n * num + den - 1) // den
+            i = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((g[key_col].iloc[0], label, n, cents[i] / 100.0))
+        return pd.DataFrame(rows, columns=[key_col, "q_label", "n", "value"])
+
+    # key_col is a BOUNDED dimension (metric/event type) — per-key map_groups
+    # walks |distinct cents| rows, not corpus rows
+    return hist.groupby(key_col).map_groups(pick, batch_format="pandas")
