@@ -192,3 +192,139 @@ def zscore_flags(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def global_row_number(
+    ds: "ray.data.Dataset",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    range_width: int = 1024,
+) -> "ray.data.Dataset":
+    """Contiguous global row numbers in (group, id) order — the training-shard
+    id assignment step (loaders want dense 0..N-1 positions after a corpus
+    sort) WITHOUT a global sort: row_number() OVER (ORDER BY group, id).
+
+    Two passes. (1) A (group, id//W) range-histogram combiner → tiny shuffle →
+    the driver prefix-sums the bucket counts in order and broadcasts the
+    offsets (driver state = |groups|·|id-range|/W rows — pick ``range_width``
+    so that stays ≤ ~10⁶ at your corpus size). (2) ONE bounded bucket exchange
+    co-locates each range bucket; a vectorized in-bucket argsort assigns
+    offset + local rank. Every bucket holds ≤ W rows by construction, so task
+    memory is bounded no matter the corpus. Requires ``id_col`` unique."""
+    import ray
+
+    W = int(range_width)
+
+    def counts(t: pa.Table) -> pa.Table:
+        rng = pc.cast(
+            pc.floor(pc.divide(pc.cast(t[id_col], pa.float64()), float(W))),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"g": t[group_col], "rng": rng})
+            .group_by(["g", "rng"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["g", "rng", "cnt"]).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["g", "rng"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["g", "rng"])
+    )
+    csum = np.concatenate([[0], np.cumsum(agg["cnt"].to_numpy(np.int64))[:-1]])
+    offsets = {
+        (g, int(r)): int(o)
+        for g, r, o in zip(agg["g"], agg["rng"], csum)
+    }
+    off_ref = ray.put(offsets)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_rng=(df[id_col].to_numpy(np.int64) // W).astype(np.int64))
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        grp = g[group_col].iloc[0]
+        rng = int(g["_rng"].iloc[0])
+        g = g.sort_values(id_col, kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                group_col: g[group_col].to_numpy(),
+                "row_num": off[(grp, rng)] + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby([group_col, "_rng"])
+        .map_groups(number, batch_format="pandas")
+    )
+
+
+def percentile_rank(
+    ds: "ray.data.Dataset",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """Per-key percentile rank of every row — feature normalization for
+    training (rank-gauss / quantile-uniform transforms start exactly here):
+    pr_micro = (10⁶ · |{rows of key with value < mine}|) // n, all-integer.
+
+    Same bounded-domain histogram trick as grouped_quantiles_exact: ONE
+    (key, cents) histogram aggregate (≤ |keys|·|distinct cents| rows) lands on
+    the driver, the per-key (sorted cents, exclusive-cumulative counts, n)
+    arrays broadcast via ray.put, and a second streaming pass ranks each row
+    with one np.searchsorted per (batch, key) — rows never shuffle."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents, pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "cents", "cnt"]).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values([key_col, "cents"])
+    )
+    hist: dict = {}
+    for k, g in agg.groupby(key_col, sort=False):
+        cnt = g["cnt"].to_numpy(np.int64)
+        less = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        hist[k] = (g["cents"].to_numpy(np.int64), less, int(cnt.sum()))
+    hist_ref = ray.put(hist)
+
+    def score(t: pa.Table) -> pa.Table:
+        h = ray.get(hist_ref)
+        cents = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(cents), dtype=np.int64)
+        for k in pd.unique(keys):
+            m = keys == k
+            kc, less, n = h[k]
+            idx = np.searchsorted(kc, cents[m], side="left")
+            pr[m] = (1_000_000 * less[idx]) // n
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: t[key_col],
+                value_col: t[value_col],
+                "pr_micro": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -66,3 +66,65 @@ def upsert_latest(
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def snapshot_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    hash_col: str = "content_h",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Corpus snapshot diff — the reference's snapshot-swap tombstone diff
+    (rules/diff.py::diff_rulesets, D2) generalized to DATA: given two corpus
+    versions carrying (key, content-hash), emit one row per key whose state
+    changed: 'added' (new only), 'removed' (old only), 'changed' (both, hash
+    differs). Unchanged keys are silent — the incremental-training recipe
+    (reprocess only the delta between crawls).
+
+    Scale shape: both sides ship ONLY (key, hash) — 16 bytes/row — through ONE
+    bounded bucket exchange on ``hash(key) % num_buckets``; the per-bucket
+    classifier is a vectorized pandas merge. Content equality is judged by the
+    64-bit hash (the standard CDC contract: collisions mean a missed change,
+    ~2⁻⁶⁴ per pair); hash upstream with ``fnv1a64_arrow`` over the exact bytes
+    the oracle hashes."""
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            k = df[key_col].to_numpy()
+            return pd.DataFrame(
+                {
+                    key_col: k.astype(np.int64),
+                    "_h": df[hash_col].to_numpy().astype(np.int64),
+                    "_side": np.full(len(df), side, dtype=np.int8),
+                    "_b": (k.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int32
+                    ),
+                }
+            )
+
+        return fn
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0][[key_col, "_h"]]
+        n = g[g["_side"] == 1][[key_col, "_h"]]
+        m = o.merge(n, on=key_col, how="outer", suffixes=("_o", "_n"), indicator=True)
+        change = np.where(
+            m["_merge"].to_numpy() == "right_only",
+            "added",
+            np.where(m["_merge"].to_numpy() == "left_only", "removed", "changed"),
+        )
+        keep = (m["_merge"] != "both").to_numpy() | (
+            m["_h_o"].to_numpy() != m["_h_n"].to_numpy()
+        )
+        return pd.DataFrame(
+            {key_col: m[key_col].to_numpy()[keep].astype(np.int64),
+             "change": change[keep]}
+        )
+
+    merged = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+    return merged.groupby("_b").map_groups(
+        lambda g: classify(g.drop(columns=["_b"])), batch_format="pandas"
+    )
