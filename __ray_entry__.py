@@ -34,8 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries7 import QUERIES7
     from sts_opentelemetry_collector_ray.pipelines.queries8 import QUERIES8
     from sts_opentelemetry_collector_ray.pipelines.queries9 import QUERIES9
+    from sts_opentelemetry_collector_ray.pipelines.queries10 import QUERIES10
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -51,5 +52,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries7 import ORACLES7
     from sts_opentelemetry_collector_ray.pipelines.queries8 import ORACLES8
     from sts_opentelemetry_collector_ray.pipelines.queries9 import ORACLES9
+    from sts_opentelemetry_collector_ray.pipelines.queries10 import ORACLES10
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **dynamic_oracles(), **dynamic_oracles4()}

@@ -328,3 +328,46 @@ def percentile_rank(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pivot_dow_counts(
+    ds: "ray.data.Dataset",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> "ray.data.Dataset":
+    """Pivot to a dense (key × day-of-week) count matrix — the feature-table
+    shape (one row per key, one fixed column per category) classifiers and
+    dashboards consume. Fixed 7-column schema; dow convention matches DuckDB's
+    ``dayofweek`` (Sunday = 0), derived from integer epoch days (1970-01-01 is
+    a Thursday ⇒ (days + 4) % 7).
+
+    Scale shape: per-batch (key, dow) count combiner → ≤ |keys|·7·|batches|
+    partial shuffle → per-key vectorized pivot (key is a bounded dimension)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        dow = ((days + 4) % 7).astype(np.int64)
+        g = (
+            pa.table({"k": t[key_col], "dow": pa.array(dow, pa.int64())})
+            .group_by(["k", "dow"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["k", "dow", "cnt"]).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "dow"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        row = np.zeros(7, dtype=np.int64)
+        row[g["dow"].to_numpy(np.int64)] = g["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {key_col: [g["k"].iloc[0]],
+             **{f"dow_{d}": np.array([row[d]], dtype=np.int64) for d in range(7)}}
+        )
+
+    return agg.groupby("k").map_groups(pivot, batch_format="pandas")

@@ -200,3 +200,153 @@ def interval_join(
         )
 
     return p.union(iv).groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+_SKEW_SENTINEL = -(2 ** 62)
+
+
+def skew_join(
+    probe: "ray.data.Dataset",
+    build: "ray.data.Dataset",
+    probe_key: str,
+    build_key: str,
+    build_cols: list[str],
+    hot_k: int = 8,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Skew-aware inner join: HOT probe keys join against a BROADCAST slice of
+    the build side (no shuffle for the heavy rows), cold keys go through the
+    ordinary hash-partitioned ``Dataset.join``. Result rows are identical to a
+    plain inner join — hot-key detection only moves work, never changes it.
+
+    Scale shape: hot keys are found with a per-batch top-k count combiner (the
+    exchange carries ≤ hot_k·|batches| rows, never the corpus); the hot build
+    slice ships once via ``ray.put`` (contract: the build side must be the
+    SMALL side — hot_k keys × their build rows must fit a worker heap, the
+    broadcast-join precondition). The probe source is consumed twice (hot
+    pass, cold pass) — hand it a re-readable source per the no-branch rule;
+    each pass re-reads rather than re-executing a shared lazy prefix.
+
+    Without this, one hot key (a bot user, an empty-string join key) lands an
+    entire partition on one reducer; salting helps aggregates but not joins —
+    broadcast-routing the hot slice is the standard fix.
+
+    Contract: build keys are UNIQUE (a dimension table); the hot pass binds
+    each probe row to THE build row via one searchsorted. Keys are int64 and
+    must never equal the reserved sentinel ``_SKEW_SENTINEL`` (min-int64
+    region; every real id domain is nonnegative)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    # --- detect hot keys: per-batch top-k count partials -> tiny aggregate ---
+    def topk_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": t[probe_key]})
+            .group_by(["k"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "c"])
+        )
+        idx = pc.sort_indices(g, sort_keys=[("c", "descending"), ("k", "ascending")])
+        return g.take(idx[: hot_k]).replace_schema_metadata(None)
+
+    counts = (
+        probe.map_batches(topk_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["c", "k"], ascending=[False, True])
+        .head(hot_k)
+    )
+    hot = set(counts["k"].tolist())
+
+    # --- broadcast the hot slice of the build side ---------------------------
+    def build_hot(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            np.isin(t[build_key].to_numpy(zero_copy_only=False), list(hot))
+        )
+        return t.select([build_key, *build_cols]).filter(mask)
+
+    hot_tbl = pa.concat_tables(
+        [b for b in build.map_batches(build_hot, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if len(b)]
+        or [pa.table({build_key: pa.array([], pa.int64()),
+                      **{c: pa.array([], pa.string()) for c in build_cols}})]
+    )
+    hot_ref = ray.put(hot_tbl)
+
+    def hot_pass(t: pa.Table) -> pa.Table:
+        ht = ray.get(hot_ref)
+        keys = t[probe_key].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(keys, list(hot))))
+        pk = t[probe_key].to_numpy(zero_copy_only=False)
+        bk = ht[build_key].to_numpy(zero_copy_only=False)
+        if len(bk) == 0:
+            return pa.table(
+                {**{c: t[c].slice(0, 0) for c in t.column_names},
+                 **{c: ht[c].slice(0, 0) for c in build_cols}}
+            )
+        order = np.argsort(bk, kind="stable")
+        srt = bk[order]
+        loc = np.searchsorted(srt, pk)
+        # inner-join semantics: a hot probe key absent from the build side drops
+        ok = (loc < len(srt)) & (srt[np.minimum(loc, max(len(srt) - 1, 0))] == pk)
+        t = t.filter(pa.array(ok))
+        pos = order[loc[ok]]
+        out = {c: t[c] for c in t.column_names}
+        for c in build_cols:
+            out[c] = ht[c].take(pa.array(pos, pa.int64()))
+        return pa.table(out)
+
+    def cold_pass(t: pa.Table) -> pa.Table:
+        keys = t[probe_key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(keys, list(hot))))
+
+    def build_cold(t: pa.Table) -> pa.Table:
+        mask = ~np.isin(t[build_key].to_numpy(zero_copy_only=False), list(hot))
+        return t.select([build_key, *build_cols]).filter(pa.array(mask))
+
+    hot_joined = probe.map_batches(hot_pass, batch_format="pyarrow")
+
+    # A fully-hot probe (or fully-hot build) leaves the cold side EMPTY, and
+    # Ray's hash-shuffle join dies on schema-less empty blocks (CLAUDE.md
+    # rule). Guarantee both cold sides stay typed-non-empty with ONE reserved
+    # sentinel row each (key = _SKEW_SENTINEL, outside the documented
+    # nonnegative-key domain); the joined sentinel pair is filtered in norm().
+    def sentinel_of(ds_: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+        b = ds_.take_batch(1, batch_format="pyarrow")
+        idx = b.column_names.index(key)
+        b = b.set_column(
+            idx, key, pa.array([_SKEW_SENTINEL] * len(b), b[key].type)
+        )
+        return ray.data.from_arrow(b.replace_schema_metadata(None))
+
+    cold_joined = (
+        probe.map_batches(cold_pass, batch_format="pyarrow")
+        .union(sentinel_of(probe, probe_key))
+        .join(
+            build.map_batches(build_cold, batch_format="pyarrow")
+            .union(sentinel_of(build.map_batches(
+                lambda t: t.select([build_key, *build_cols]),
+                batch_format="pyarrow"), build_key)),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(probe_key,),
+            right_on=(build_key,),
+        )
+    )
+
+    probe_cols = [c for c in probe.schema().names]
+    out_cols = [*probe_cols, *build_cols]
+
+    def norm(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            t[probe_key].to_numpy(zero_copy_only=False) != _SKEW_SENTINEL
+        )
+        t = t.filter(keep)
+        return pa.table({c: t[c] for c in out_cols}).replace_schema_metadata(None)
+
+    return hot_joined.map_batches(norm, batch_format="pyarrow").union(
+        cold_joined.map_batches(norm, batch_format="pyarrow")
+    )

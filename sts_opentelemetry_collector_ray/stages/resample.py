@@ -91,3 +91,44 @@ def temperature_resample(
         return out.append_column("repeat_idx", pa.array(rep, pa.int64()))
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def negative_samples(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic negative sampling for contrastive training: each doc gets
+    ``k`` pseudo-random partner ids drawn by hashing (doc_id, j) over the
+    dense id range [0, n_docs) — no RNG state, rerun-stable, and shuffle-FREE
+    (a stateless k× row expansion inside map_batches; the pairing never needs
+    the partner row, so nothing joins).
+
+    Self-collisions step to the next id mod n_docs so a doc is never its own
+    negative. ``n_docs`` is the one piece of global state (one int — count the
+    corpus once)."""
+    from ..functions.hashing import fnv1a32_arrow
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        key = pc.binary_join_element_wise(
+            pa.array(out_id.astype(str)), pa.array(j.astype(str)), ":"
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        neg = (fnv1a32_arrow(key) % np.uint64(n_docs)).astype(np.int64)
+        neg = np.where(neg == out_id, (neg + 1) % n_docs, neg)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "neg_idx": pa.array(j, pa.int64()),
+                "neg_id": pa.array(neg, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
