@@ -371,3 +371,53 @@ def pivot_dow_counts(
         )
 
     return agg.groupby("k").map_groups(pivot, batch_format="pandas")
+
+
+def interarrival_deltas(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key lag delta — time since the key's previous event (ordered by
+    (ts, id); a key's first event gets NULL). The lag/lead window family as a
+    Ray stage: ONE bounded key-bucket exchange co-locates each key's rows,
+    then a vectorized lexsort + shifted diff resolves every key at once (the
+    sessionize kernel's shape, emitting the raw gaps instead of window ids)."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[key_col].to_numpy())
+        return df.assign(_b=(h % np.uint64(num_buckets)).astype(np.int32))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {id_col: np.array([], np.int64), key_col: [],
+                 "delta_us": np.array([], np.float64)}
+            )
+        ts = g[ts_col].to_numpy()
+        ts_i = (
+            ts.astype("datetime64[us]").astype(np.int64)
+            if ts.dtype.kind == "M"
+            else ts.astype(np.int64)
+        )
+        ids = g[id_col].to_numpy(np.int64)
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((ids, ts_i, keys))
+        k_s, t_s, i_s = keys[order], ts_i[order], ids[order]
+        d = np.empty(len(g), dtype=np.float64)
+        d[0] = np.nan
+        if len(g) > 1:
+            same = k_s[1:] == k_s[:-1]
+            d[1:] = np.where(same, (t_s[1:] - t_s[:-1]).astype(np.float64), np.nan)
+        # float64 with NaN for the per-key first row: deltas are < 2^53 µs so
+        # the float is exact, and it matches what any SQL NULLable lag column
+        # round-trips to in pandas
+        return pd.DataFrame({id_col: i_s, key_col: k_s, "delta_us": d})
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: deltas(g.drop(columns=["_b"])), batch_format="pandas")
+    )
