@@ -350,3 +350,95 @@ def skew_join(
     return hot_joined.map_batches(norm, batch_format="pyarrow").union(
         cold_joined.map_batches(norm, batch_format="pyarrow")
     )
+
+
+def bloom_semijoin(
+    probe: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    probe_key: str,
+    right_key: str,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Bloom semi-join (the classic distributed-DB bloom-join): keep probe
+    rows whose key appears on the right side. The right side's DISTINCT keys
+    compress into an ``n_bits`` Bloom filter (per-batch bit-position partials
+    → one driver OR over ≤ n_bits/8 bytes, size-independent of the right
+    side), the broadcast filter pre-prunes the probe STREAM before any
+    shuffle (no false negatives — nothing real is lost), and the survivors
+    take an exact hash join against the distinct right keys to kill the
+    false positives. Result rows are identical to an exact semi-join; the
+    bloom only shrinks the shuffle.
+
+    Keys are int64 (hashed via their decimal string form, matching
+    functions/hashing.py conventions); sentinel rows keep empty join sides
+    schema-safe (same reserved key contract as ``skew_join``)."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .dedup_docs import _bloom_positions
+    from ..functions.hashing import fnv1a64_arrow
+
+    def key_str(col: "pa.ChunkedArray") -> "pa.Array":
+        s = pc.cast(col, pa.string())
+        return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
+    def bits_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(key_str(t[right_key]))
+        pos = np.unique(_bloom_positions(fnv1a64_arrow(u), n_bits, k))
+        return pa.table({"bit": pa.array(pos.astype(np.int64), pa.int64())})
+
+    bits = keys.map_batches(bits_partial, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(n_bits, dtype=bool)
+    if len(bits):
+        bloom[np.unique(bits["bit"].to_numpy())] = True
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        pos = _bloom_positions(fnv1a64_arrow(key_str(t[probe_key])), n_bits, k)
+        return t.filter(pa.array(b[pos].all(axis=1)))
+
+    def sentinel_of(ds_: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+        b = ds_.take_batch(1, batch_format="pyarrow")
+        idx = b.column_names.index(key)
+        b = b.set_column(idx, key, pa.array([_SKEW_SENTINEL] * len(b), b[key].type))
+        return ray.data.from_arrow(b.replace_schema_metadata(None))
+
+    distinct = keys.groupby(right_key).aggregate(Count(alias_name="_n"))
+    out_cols = list(probe.schema().names)
+
+    def norm(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            t[probe_key].to_numpy(zero_copy_only=False) != _SKEW_SENTINEL
+        )
+        t = t.filter(keep)
+        return pa.table({c: t[c] for c in out_cols}).replace_schema_metadata(None)
+
+    joined = (
+        probe.map_batches(prefilter, batch_format="pyarrow")
+        .union(sentinel_of(probe, probe_key))
+        .join(
+            distinct.map_batches(
+                lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+            ).union(
+                sentinel_of(
+                    keys.map_batches(
+                        lambda t: pa.table(
+                            {right_key: t[right_key],
+                             "_n": pa.array(np.ones(len(t), np.int64))}
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    right_key,
+                )
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(probe_key,),
+            right_on=(right_key,),
+        )
+    )
+    return joined.map_batches(norm, batch_format="pyarrow")
