@@ -70,7 +70,13 @@ def test_query_matches_oracle(name):
     for c in got.columns:
         ge = got[c].to_numpy()
         ee = exp[c].astype(got[c].dtype) if got[c].dtype != object else exp[c]
-        eq = ge == ee.to_numpy()
+        ee_np = ee.to_numpy()
+        eq = ge == ee_np
+        if getattr(got[c].dtype, "kind", "") == "f":
+            # NULL deltas (e.g. first event per key) are NaN on both sides;
+            # NaN == NaN is False elementwise but the driver's hash (and the
+            # strict sweep's DataFrame.equals) treats same-position NaNs equal.
+            eq |= np.isnan(ge) & np.isnan(ee_np)
         assert eq.all(), f"{name}.{c}: first mismatch at {np.argmin(eq)}: {ge[np.argmin(eq)]!r} != {ee.to_numpy()[np.argmin(eq)]!r}"
 
 
