@@ -175,3 +175,28 @@ def test_basket_pairs_dedup_and_singletons(tmp_path_factory):
     g = _compare("basket_pairs", d, ["lineitem"])
     got = {(r.part_a, r.part_b): r.n for r in g.itertuples()}
     assert got == {(7, 9): 3}
+
+
+def test_quality_checks_catch_violations(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_qc"))
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            # event_id 1 duplicated twice → 2 uniqueness violations
+            "event_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+            "ts": [base, base, None, base, base],
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["click", "hover", "view", "view", "click"],
+            "value": [10.0, -5.0, 900.0, 100.0, np.nan],
+            "props": ["{}"] * 5,
+        }
+    )
+    _write(d, "events", df, _EVENTS_SCHEMA)
+    g = _compare("events_quality_checks", d, ["events"])
+    got = {r.check_name: (r.violations, r.passed) for r in g.itertuples()}
+    assert got == {
+        "unique_event_id": (2, False),
+        "ts_complete": (1, False),
+        "value_in_range": (2, False),  # -5 and 900; NULL value is not a range violation
+        "event_type_enum": (1, False),  # 'hover'
+    }
