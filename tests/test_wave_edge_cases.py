@@ -177,6 +177,48 @@ def test_basket_pairs_dedup_and_singletons(tmp_path_factory):
     assert got == {(7, 9): 3}
 
 
+def test_ref_integrity_finds_orphans(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_ri"))
+    _write(
+        d, "customer",
+        pd.DataFrame({"c_custkey": np.array([1, 2], dtype=np.int64)}),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+    _write(
+        d, "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([10, 11, 12], dtype=np.int64),
+                # custkey 99 twice → ONE distinct orphan key
+                "o_custkey": np.array([1, 99, 99], dtype=np.int64),
+            }
+        ),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+    _write(
+        d, "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([10, 13, 14], dtype=np.int64),  # 13, 14 orphaned
+                "l_partkey": np.array([5, 5, 5], dtype=np.int64),
+            }
+        ),
+        pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())]),
+    )
+    _write(
+        d, "part",
+        pd.DataFrame({"p_partkey": np.array([5], dtype=np.int64)}),
+        pa.schema([("p_partkey", pa.int64())]),
+    )
+    g = _compare("ref_integrity", d, ["customer", "orders", "lineitem", "part"])
+    got = {r.check_name: (r.orphan_keys, r.passed) for r in g.itertuples()}
+    assert got == {
+        "orders_customer": (1, False),
+        "lineitem_orders": (2, False),
+        "lineitem_part": (0, True),
+    }
+
+
 def test_quality_checks_catch_violations(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_qc"))
     base = pd.Timestamp("2024-01-01")
