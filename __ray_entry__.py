@@ -53,8 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries26 import QUERIES26
     from sts_opentelemetry_collector_ray.pipelines.queries27 import QUERIES27
     from sts_opentelemetry_collector_ray.pipelines.queries28 import QUERIES28
+    from sts_opentelemetry_collector_ray.pipelines.queries29 import QUERIES29
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10, **QUERIES11, **QUERIES12, **QUERIES13, **QUERIES14, **QUERIES15, **QUERIES16, **QUERIES17, **QUERIES18, **QUERIES19, **QUERIES20, **QUERIES21, **QUERIES22, **QUERIES23, **QUERIES24, **QUERIES25, **QUERIES26, **QUERIES27, **QUERIES28}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10, **QUERIES11, **QUERIES12, **QUERIES13, **QUERIES14, **QUERIES15, **QUERIES16, **QUERIES17, **QUERIES18, **QUERIES19, **QUERIES20, **QUERIES21, **QUERIES22, **QUERIES23, **QUERIES24, **QUERIES25, **QUERIES26, **QUERIES27, **QUERIES28, **QUERIES29}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -89,5 +90,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries26 import ORACLES26
     from sts_opentelemetry_collector_ray.pipelines.queries27 import ORACLES27
     from sts_opentelemetry_collector_ray.pipelines.queries28 import ORACLES28
+    from sts_opentelemetry_collector_ray.pipelines.queries29 import ORACLES29
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **ORACLES11, **ORACLES12, **ORACLES13, **ORACLES14, **ORACLES15, **ORACLES16, **ORACLES17, **ORACLES18, **ORACLES19, **ORACLES20, **ORACLES21, **ORACLES22, **ORACLES23, **ORACLES24, **ORACLES25, **ORACLES26, **ORACLES27, **ORACLES28, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **ORACLES11, **ORACLES12, **ORACLES13, **ORACLES14, **ORACLES15, **ORACLES16, **ORACLES17, **ORACLES18, **ORACLES19, **ORACLES20, **ORACLES21, **ORACLES22, **ORACLES23, **ORACLES24, **ORACLES25, **ORACLES26, **ORACLES27, **ORACLES28, **ORACLES29, **dynamic_oracles(), **dynamic_oracles4()}
