@@ -31,11 +31,13 @@ def q_docs_dup_spans(sf_dir: str):
     Scale shape: the exchange carries (shingle-fnv64, doc_id) — 16 B per
     position, text never leaves the batch — through ONE bounded hash-bucket
     exchange (all occurrences of a shingle land in one bucket); per-bucket
-    np.unique counts mark dup positions; a tiny per-doc sum finishes. Same
+    np.unique counts mark dup positions; a SECOND doc-bucket exchange merges
+    each doc's per-shingle-bucket partials with a vectorized pandas re-sum
+    (doc count is unbounded, so a Ray `groupby(doc_id).aggregate()` reduce —
+    ~2 ms/group measured, CLAUDE.md — is the wrong tail here). Same
     zero-false-negative hash contract as stages/compact.py::snapshot_diff
     (collision odds ~2^-64 make a false dup, never a miss)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from ..functions.hashing import fnv1a64_arrow
 
@@ -94,14 +96,24 @@ def q_docs_dup_spans(sf_dir: str):
         )
         out["dp"] = out["dp"].astype(np.int64)
         out["tp"] = out["tp"].astype(np.int64)
+        out["_b2"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % _SPAN_BUCKETS
+        ).astype(np.int32)
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)
+            .agg(dup_positions=("dp", "sum"), total_positions=("tp", "sum"))
+            .reset_index()
+        )
+        out["dup_positions"] = out["dup_positions"].astype(np.int64)
+        out["total_positions"] = out["total_positions"].astype(np.int64)
         return out
 
     pos = ds.map_batches(shingle_positions, batch_format="pyarrow")
     partials = pos.groupby("_b").map_groups(per_bucket, batch_format="pandas")
-    return partials.groupby("doc_id").aggregate(
-        Sum("dp", alias_name="dup_positions"),
-        Sum("tp", alias_name="total_positions"),
-    )
+    return partials.groupby("_b2").map_groups(per_doc, batch_format="pandas")
 
 
 ORACLES14["docs_dup_spans"] = r"""
