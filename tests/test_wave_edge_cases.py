@@ -219,6 +219,25 @@ def test_ref_integrity_finds_orphans(tmp_path_factory):
     }
 
 
+def test_distinct_rows_drops_real_duplicates(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_dr"))
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "ts": [base] * 4,
+            "user_id": np.array([7, 7, 7, 7], dtype=np.int64),
+            "event_type": ["click", "click", "view", "click"],
+            "value": [1.5, 1.5, 1.5, 1.5],
+            "props": ["{}"] * 4,
+        }
+    )
+    _write(d, "events", df, _EVENTS_SCHEMA)
+    g = _compare("events_distinct_rows", d, ["events"])
+    # rows 0 and 1 are identical over the projected columns → one survives
+    assert len(g) == 3
+
+
 def test_quality_checks_catch_violations(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_qc"))
     base = pd.Timestamp("2024-01-01")
