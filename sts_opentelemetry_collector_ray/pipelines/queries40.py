@@ -118,7 +118,7 @@ agg AS (
 SELECT event_type, user_id, n, increase_cents, CAST(span_us AS BIGINT) AS span_us,
        CASE WHEN span_us > 0
             THEN CAST(floor((increase_cents / 100.0) / (span_us / 1000000.0)
-                            * 1000000 + 0.5) AS BIGINT)
+                            * 1000000 + 0.5) AS DOUBLE)
             ELSE NULL END AS rate_micro
 FROM agg"""
 
@@ -164,7 +164,9 @@ def q_orders_skyline(sf_dir: str):
             {
                 "o_orderkey": ks[keep].astype(np.int64),
                 "price_cents": cs[keep],
-                "o_orderdate": pd.to_datetime(ds_[keep], unit="us"),
+                "o_orderdate": pd.to_datetime(ds_[keep], unit="us").astype(
+                    "datetime64[us]"
+                ),
             }
         )
 
