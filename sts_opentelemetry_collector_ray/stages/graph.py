@@ -157,3 +157,134 @@ def pagerank_integer(
         ),
         batch_format="pandas",
     )
+
+
+def label_propagation_sync(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Synchronous label propagation (community detection): labels start as
+    node ids; each round EVERY node simultaneously adopts the most frequent
+    label among its in-neighbors (ties -> smallest label; no neighbors ->
+    keep own). Fixed round count + deterministic tiebreak make the result
+    byte-replayable by a chained-CTE SQL oracle (unlike asynchronous LPA,
+    whose result depends on visit order). Pass symmetric edges for the
+    classic undirected variant.
+
+    Scale shape mirrors ``pagerank_integer``: edges bucket-materialized ONCE
+    by hash(src); each round is two BOUNDED bucket exchanges — scatter
+    (labels meet their bucket's edges, one vectorized merge emits
+    (dst, label) votes) and gather (vote counts -> per-node argmax via one
+    sort + drop_duplicates, coalesced with the previous label). Nothing ever
+    reaches the driver."""
+    B = np.uint64(num_buckets)
+
+    def hb(a: np.ndarray) -> np.ndarray:
+        return (a.astype(np.uint64) % B).astype(np.int32)
+
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src": t[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                "dst": t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return df.assign(lab=np.int64(-1), _b=hb(df["src"].to_numpy()))
+
+    edges_b = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()]))
+        return pd.DataFrame({"node": n.astype(np.int64), "_b": hb(n)})
+
+    labels = (
+        edges_b.map_batches(node_rows, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"node": (u := np.unique(g["node"].to_numpy())), "lab": u}
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["node"].astype(np.int64),
+                "dst": np.int64(-1),
+                "lab": df["lab"].astype(np.int64),
+                "_b": hb(df["node"].to_numpy()),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        is_lab = (g["dst"] < 0).to_numpy()
+        lb = g.loc[is_lab, ["src", "lab"]].rename(columns={"src": "node"})
+        ed = g.loc[~is_lab, ["src", "dst"]]
+        m = ed.merge(lb, left_on="src", right_on="node")
+        return pd.DataFrame(
+            {"node": m["dst"].astype(np.int64), "vote": m["lab"].astype(np.int64)}
+        )
+
+    def own_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype(np.int64),
+                "vote": np.int64(-1),
+                "own": df["lab"].astype(np.int64),
+                "_b": hb(df["node"].to_numpy()),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        is_own = (g["vote"] < 0).to_numpy()
+        own = g.loc[is_own, ["node", "own"]]
+        votes = g.loc[~is_own, ["node", "vote"]]
+        c = (
+            votes.groupby(["node", "vote"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+            .sort_values(["node", "c", "vote"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates("node")
+        )
+        m = own.merge(c[["node", "vote"]], on="node", how="left")
+        lab = m["vote"].fillna(m["own"]).astype(np.int64)
+        return pd.DataFrame({"node": m["node"].astype(np.int64), "lab": lab})
+
+    for _ in range(rounds):
+        votes = (
+            edges_b.union(labels.map_batches(label_rows, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(
+                lambda g: scatter(g.drop(columns=["_b"])), batch_format="pandas"
+            )
+            .map_batches(
+                lambda df: df.assign(own=np.int64(-1), _b=hb(df["node"].to_numpy())),
+                batch_format="pandas",
+            )
+        )
+        labels = (
+            votes.union(labels.map_batches(own_rows, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(
+                lambda g: gather(g.drop(columns=["_b"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["node"].astype(np.int64),
+                "community": df["lab"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
