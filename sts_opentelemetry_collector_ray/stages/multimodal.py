@@ -525,3 +525,105 @@ def video_scene_stage(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class AudioVADActor:
+    """Energy-based voice-activity detection over raw int16 PCM — EXACT
+    integer math end to end: per 10 ms frame the energy is an int64 sum of
+    int32 squares, and a frame is voiced iff
+    ``energy · n_frames · 2 > Σ energies`` (half the clip's mean energy,
+    division-free). Emits per clip the voiced-frame count, the number of
+    contiguous voiced segments, the longest segment and the exact
+    voiced-ratio in micro units.
+
+    Same actor shape as AudioFeatureActor: constants once per ``__init__``,
+    whole-batch vectorized ``__call__`` (equal-length clips decode as ONE
+    frombuffer + reshape; energies via a single reshaped square-sum)."""
+
+    def __init__(self, frame_samples: int = 160):
+        self.frame_samples = frame_samples
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        n = len(payloads)
+        if n == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "n_frames": pa.array([], pa.int64()),
+                    "n_voiced": pa.array([], pa.int64()),
+                    "n_segments": pa.array([], pa.int64()),
+                    "longest_segment": pa.array([], pa.int64()),
+                    "voiced_ratio_micro": pa.array([], pa.int64()),
+                }
+            )
+        clip_len = len(payloads[0]) // 2
+        pcm = np.frombuffer(b"".join(payloads), dtype=np.int16).reshape(n, clip_len)
+        f = self.frame_samples
+        nf = clip_len // f
+        x = pcm[:, : nf * f].astype(np.int32)
+        e = (x.astype(np.int64) * x).reshape(n, nf, f).sum(axis=2)
+        tot = e.sum(axis=1)
+        voiced = (2 * nf) * e > tot[:, None]
+        n_voiced = voiced.sum(axis=1).astype(np.int64)
+        rising = np.diff(voiced.astype(np.int8), axis=1) > 0
+        n_seg = (voiced[:, 0].astype(np.int64)) + rising.sum(axis=1)
+        # longest run per row: cumulative count that resets at gaps
+        idx = np.arange(nf)[None, :] * np.ones((n, 1), np.int64)
+        last_gap = np.maximum.accumulate(np.where(~voiced, idx, -1), axis=1)
+        runlen = np.where(voiced, idx - last_gap, 0)
+        longest = runlen.max(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_frames": pa.array(np.full(n, nf, np.int64)),
+                "n_voiced": pa.array(n_voiced),
+                "n_segments": pa.array(n_seg.astype(np.int64)),
+                "longest_segment": pa.array(longest),
+                "voiced_ratio_micro": pa.array(n_voiced * 1_000_000 // nf),
+            }
+        )
+
+
+def audio_vad_stage(
+    ds: "ray.data.Dataset",
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioVADActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def synthesize_speech_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic 'speech-like' PCM clips: the two-partial sine mix of
+    `synthesize_audio_batch` gated by a per-clip burst envelope — frame f
+    (10 ms) is active iff ``(f + k) % period(k) < duty(k)`` with
+    period = 3 + k%5 and duty = 1 + k%(period−1), k = id % 40 — so clips
+    carry real silence gaps with class-varying cadence. Everything depends
+    only on ``id % 40`` (same class key as the audio features), keeping the
+    class-representative oracle trick valid. Byte-identical across runs."""
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = len(ids)
+    f0 = (100.0 + (ids % 40) * 20.0)[:, None]
+    ts = (np.arange(AUDIO_CLIP_SAMPLES, dtype=np.float64) / AUDIO_SAMPLE_RATE)[None, :]
+    x = 0.6 * np.sin(2 * np.pi * f0 * ts) + 0.3 * np.sin(2 * np.pi * 2.5 * f0 * ts)
+    frame = (np.arange(AUDIO_CLIP_SAMPLES) // 160)[None, :]
+    k = (ids % 40)[:, None]
+    period = 3 + k % 5  # 3..7-frame burst cycle per class
+    duty = 1 + k % (period - 1 + (period <= 1))  # 1..period-1 active frames
+    env = (((frame + k) % period) < duty).astype(np.float64)
+    pcm = (x * env * 0.5 * 32767.0).astype(np.int16)
+    payloads = [row.tobytes() for row in pcm]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(np.full(n, AUDIO_SAMPLE_RATE, dtype=np.int32)),
+            "n_samples": pa.array(np.full(n, AUDIO_CLIP_SAMPLES, dtype=np.int64)),
+        }
+    )
