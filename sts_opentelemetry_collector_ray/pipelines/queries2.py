@@ -779,7 +779,7 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
 ORACLES2["docs_simhash_pairs"] = _simhash_oracle()
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents") -> str:
     """SQL replica of minhash_lsh_pairs: FNV-64 shingle hashes, the 64
     permutations ((h·a mod 2⁶⁴ + b) mod 2⁶⁴) mod (2⁶¹−1) — replicating the
     numpy uint64 WRAP exactly — per-doc minima, band-tuple candidate join
@@ -803,7 +803,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH docs0 AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -830,7 +830,7 @@ sig0 AS (
 ),
 sigfull AS (
   SELECT d.doc_id, p.perm, coalesce(s.mh, CAST({m} AS HUGEINT)) AS mh
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM {src}) d
   CROSS JOIN perms p
   LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.perm = p.perm
 ),
