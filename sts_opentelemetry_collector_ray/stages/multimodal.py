@@ -377,6 +377,36 @@ class AudioFeatureActor:
         return out
 
 
+class ImageEdgeActor:
+    """Horizontal edge statistics — the blur/quality screen feature vision
+    pipelines gate ingestion on. Raw RGB24 decodes per clip (np.frombuffer,
+    same as ImageResizeActor), then the whole batch's red-channel |∂I/∂x|
+    is one vectorized diff: edge_px counts gradients ≥ the threshold,
+    grad_sum is the total absolute gradient. Both outputs are EXACT integers
+    (uint8 pixel math), so the full-pixel SQL replay hashes bit-for-bit."""
+
+    def __init__(self, threshold: int = 32):
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        reds = [
+            np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w), 3)[:, :, 0]
+            for p, w, h in zip(payloads, ws, hs)
+        ]
+        # uniform dims by construction → one batched diff
+        stack = np.stack(reds).astype(np.int64)
+        gx = np.abs(np.diff(stack, axis=2))
+        edge_px = (gx >= self.threshold).sum(axis=(1, 2)).astype(np.int64)
+        grad_sum = gx.sum(axis=(1, 2)).astype(np.int64)
+        out = t.drop_columns(["payload"])
+        out = out.append_column("edge_px", pa.array(edge_px, pa.int64()))
+        out = out.append_column("grad_sum", pa.array(grad_sum, pa.int64()))
+        return out
+
+
 class AudioPitchActor:
     """Autocorrelation pitch tracking — the f0 estimate VAD/diarization
     pipelines key on. The whole batch's ACF comes from ONE zero-padded
