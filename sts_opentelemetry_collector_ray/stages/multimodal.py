@@ -407,6 +407,42 @@ class ImageEdgeActor:
         return out
 
 
+class ImageLumaHistActor:
+    """Per-image luminance histogram — the exposure screen (all-dark /
+    blown-out detection) vision curation runs before training. Integer luma
+    (r+g+b)//3 over the stacked batch, one bincount per image via a single
+    offset-bincount over the whole batch; zero bins are emitted explicitly
+    so the output is a dense |images|×bins long format. Exact integers —
+    the full-pixel SQL replay hashes bit-for-bit."""
+
+    def __init__(self, bins: int = 8):
+        self.bins = bins
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        ids = t["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        imgs = [
+            np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w), 3)
+            for p, w, h in zip(payloads, ws, hs)
+        ]
+        stack = np.stack(imgs).astype(np.int64)  # uniform dims by construction
+        luma = stack.sum(axis=3) // 3
+        binix = luma // (256 // self.bins)
+        n = len(ids)
+        # one bincount for the whole batch: offset each image's bins by i*bins
+        flat = (np.arange(n)[:, None, None] * self.bins + binix).ravel()
+        counts = np.bincount(flat, minlength=n * self.bins).reshape(n, self.bins)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, self.bins), pa.int64()),
+                "bin": pa.array(np.tile(np.arange(self.bins, dtype=np.int64), n)),
+                "n_px": pa.array(counts.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+
 class AudioPitchActor:
     """Autocorrelation pitch tracking — the f0 estimate VAD/diarization
     pipelines key on. The whole batch's ACF comes from ONE zero-padded
