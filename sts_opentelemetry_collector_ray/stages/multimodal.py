@@ -407,6 +407,44 @@ class ImageEdgeActor:
         return out
 
 
+class VideoFlickerActor:
+    """Frame-to-frame brightness flicker — the broken-encode / strobe screen
+    video curation runs. The whole batch's frame stacks decode with ONE
+    frombuffer+reshape each; per-frame totals are one vectorized sum, and a
+    flicker is a |ΔS| jump above `threshold` per pixel. Outputs are EXACT
+    integers; on the synthesized corpus the per-frame total moves only
+    through the blue channel's mod-256 sawtooth (the red gradient is a
+    cyclic shift — sum-invariant — and green is static), so the oracle
+    replays the jumps in closed form without touching pixels."""
+
+    def __init__(self, threshold_per_px: int = 100):
+        self.threshold_per_px = threshold_per_px
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        fs = t["n_frames"].to_numpy(zero_copy_only=False)
+        n_flicker, max_jump = [], []
+        for p, w, h, f in zip(payloads, ws, hs, fs):
+            stack = np.frombuffer(p, dtype=np.uint8).reshape(
+                int(f), int(h), int(w), 3
+            )
+            s = stack.astype(np.int64).sum(axis=(1, 2, 3))
+            d = np.abs(np.diff(s))
+            thr = self.threshold_per_px * int(h) * int(w)
+            n_flicker.append(int((d > thr).sum()))
+            max_jump.append(int(d.max()) if len(d) else 0)
+        out = t.drop_columns(["payload"])
+        out = out.append_column(
+            "n_flicker", pa.array(np.array(n_flicker, np.int64), pa.int64())
+        )
+        out = out.append_column(
+            "max_jump", pa.array(np.array(max_jump, np.int64), pa.int64())
+        )
+        return out
+
+
 class ImageLumaHistActor:
     """Per-image luminance histogram — the exposure screen (all-dark /
     blown-out detection) vision curation runs before training. Integer luma
