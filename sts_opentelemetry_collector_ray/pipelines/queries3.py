@@ -359,7 +359,7 @@ def q_docs_neardup_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
-def q_sg_latency_quantiles(sf_dir: str):
+def q_sg_latency_sketch(sf_dir: str):
     """Approximate latency percentiles per tool from a mergeable log-bin sketch
     (rows-only: the estimate is approximate by design; accuracy bounds are
     asserted vs numpy quantiles in tests)."""
@@ -446,7 +446,7 @@ SELECT tool, q, sqrt(lo * hi) AS estimate FROM bounds"""
 
 
 ORACLES3: dict[str, str] = {
-    "sg_latency_quantiles": _quantile_sketch_oracle(),
+    "sg_latency_sketch": _quantile_sketch_oracle(),
     "neardup_components": _components_sql("SELECT node, component FROM comp"),
     "docs_neardup_dedup": _components_sql(
         """SELECT d.doc_id FROM documents d
@@ -1616,7 +1616,7 @@ QUERIES3 = {
     "orders_top_per_cust": q_orders_top_per_cust,
     "neardup_components": q_neardup_components,
     "docs_neardup_dedup": q_docs_neardup_dedup,
-    "sg_latency_quantiles": q_sg_latency_quantiles,
+    "sg_latency_sketch": q_sg_latency_sketch,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_line_dedup_global": q_docs_line_dedup_global,
     "image_augment": q_image_augment,
