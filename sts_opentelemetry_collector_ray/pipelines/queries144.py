@@ -24,8 +24,10 @@ def q_conv_tool_pairs(sf_dir: str):
     """For each unordered tool pair (a < b): conversations containing both,
     each tool's conversation count, and the lift in micro units —
     lift = n_both·n_convs / (n_a·n_b), the integer product computed exactly
-    before ONE shared double division. Tool turns only (tool <> '');
-    pairs never co-occurring are absent on both engines.
+    before ONE shared double division. All tool-bearing turns count
+    (tool <> '', any role — the derivation stamps tools on caller and
+    executor turns alike); pairs never co-occurring are absent on both
+    engines.
 
     Scale shape: turns co-locate per conversation through ONE conv-bucket
     exchange; per-bucket distinct (conv, tool) via drop_duplicates, a
@@ -38,8 +40,8 @@ def q_conv_tool_pairs(sf_dir: str):
     ds = derive_transcripts_from_events(sf_dir)
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        df = _conv_bucket_partial(t, ("role", "tool"))
-        df = df[(df["role"] == "tool") & (df["tool"] != "")]
+        df = _conv_bucket_partial(t, ("tool",))
+        df = df[df["tool"] != ""]
         return df[["conv", "tool", "_b"]].drop_duplicates()
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -134,8 +136,7 @@ def _tool_pairs_oracle() -> str:
         TRANSCRIPTS_FROM_EVENTS_SQL
         + """,
 ct AS (
-  SELECT DISTINCT conv_id, tool FROM transcripts
-  WHERE role = 'tool' AND tool <> ''
+  SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool <> ''
 ),
 singles AS (SELECT tool, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY 1),
 tot AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs FROM ct),

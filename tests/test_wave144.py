@@ -37,8 +37,7 @@ def test_tool_pairs_reconcile_with_sql():
     n_both, n_a, n_b = con.execute(
         TRANSCRIPTS_FROM_EVENTS_SQL
         + f""",
-ct AS (SELECT DISTINCT conv_id, tool FROM transcripts
-       WHERE role = 'tool' AND tool <> '')
+ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool <> '')
 SELECT
   (SELECT count(*) FROM ct a JOIN ct b ON a.conv_id = b.conv_id
    WHERE a.tool = '{row["tool_a"]}' AND b.tool = '{row["tool_b"]}'),
