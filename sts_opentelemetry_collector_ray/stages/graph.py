@@ -32,6 +32,41 @@ import ray
 TOTAL = 10**12
 
 
+def _ckpt_load(checkpoint_dir: str, max_round: int, n_nodes: int):
+    """Return (completed_round, state Dataset) from a round checkpoint, or
+    (0, None). A manifest whose node count mismatches the current graph is
+    stale (different input) and is ignored."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest = os.path.join(checkpoint_dir, "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return 0, None
+    with open(manifest) as f:
+        m = json.load(f)
+    if m.get("n_nodes") != n_nodes or not (0 < m.get("round", 0) <= max_round):
+        return 0, None
+    r = int(m["round"])
+    return r, ray.data.read_parquet(
+        os.path.join(checkpoint_dir, f"round={r}")
+    ).materialize()
+
+
+def _ckpt_save(checkpoint_dir: str, round_no: int, n_nodes: int, state) -> None:
+    """Persist one round: partitioned parquet, then the manifest via atomic
+    replace — a crash between the two just re-runs the round."""
+    import json
+    import os
+    import tempfile
+
+    state.write_parquet(os.path.join(checkpoint_dir, f"round={round_no}"))
+    fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"round": round_no, "n_nodes": n_nodes}, f)
+    os.replace(tmp, os.path.join(checkpoint_dir, "MANIFEST.json"))
+
+
 def pagerank_integer(
     edges: "ray.data.Dataset",
     src_col: str = "src",
@@ -113,19 +148,9 @@ def pagerank_integer(
 
     start_round = 0
     if checkpoint_dir is not None:
-        import json
-        import os
-
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        manifest = os.path.join(checkpoint_dir, "MANIFEST.json")
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                m = json.load(f)
-            if m.get("n_nodes") == n_nodes and 0 < m.get("round", 0) <= iterations:
-                start_round = int(m["round"])
-                ranks = ray.data.read_parquet(
-                    os.path.join(checkpoint_dir, f"round={start_round}")
-                ).materialize()
+        start_round, loaded = _ckpt_load(checkpoint_dir, iterations, n_nodes)
+        if loaded is not None:
+            ranks = loaded
 
     def rank_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -180,16 +205,7 @@ def pagerank_integer(
             .materialize()
         )
         if checkpoint_dir is not None:
-            import json
-            import os
-            import tempfile
-
-            rd = os.path.join(checkpoint_dir, f"round={k + 1}")
-            ranks.write_parquet(rd)
-            fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"round": k + 1, "n_nodes": n_nodes}, f)
-            os.replace(tmp, os.path.join(checkpoint_dir, "MANIFEST.json"))
+            _ckpt_save(checkpoint_dir, k + 1, n_nodes, ranks)
 
     return ranks.map_batches(
         lambda df: pd.DataFrame(
@@ -205,6 +221,7 @@ def label_propagation_sync(
     dst_col: str = "dst",
     rounds: int = 3,
     num_buckets: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Synchronous label propagation (community detection): labels start as
     node ids; each round EVERY node simultaneously adopts the most frequent
@@ -219,7 +236,12 @@ def label_propagation_sync(
     (labels meet their bucket's edges, one vectorized merge emits
     (dst, label) votes) and gather (vote counts -> per-node argmax via one
     sort + drop_duplicates, coalesced with the previous label). Nothing ever
-    reaches the driver."""
+    reaches the driver.
+
+    ``checkpoint_dir`` follows the pagerank_integer contract: per-round label
+    state under ``<dir>/round=<k>/`` plus an atomically-replaced
+    ``MANIFEST.json``; resume replays only missing rounds, bit-identical
+    because the argmax tiebreak is deterministic."""
     B = np.uint64(num_buckets)
 
     def hb(a: np.ndarray) -> np.ndarray:
@@ -298,7 +320,14 @@ def label_propagation_sync(
         lab = m["vote"].fillna(m["own"]).astype(np.int64)
         return pd.DataFrame({"node": m["node"].astype(np.int64), "lab": lab})
 
-    for _ in range(rounds):
+    start_round = 0
+    if checkpoint_dir is not None:
+        n_nodes = labels.count()
+        start_round, loaded = _ckpt_load(checkpoint_dir, rounds, n_nodes)
+        if loaded is not None:
+            labels = loaded
+
+    for _k in range(start_round, rounds):
         votes = (
             edges_b.union(labels.map_batches(label_rows, batch_format="pandas"))
             .groupby("_b")
@@ -318,6 +347,8 @@ def label_propagation_sync(
             )
             .materialize()
         )
+        if checkpoint_dir is not None:
+            _ckpt_save(checkpoint_dir, _k + 1, n_nodes, labels)
 
     return labels.map_batches(
         lambda df: pd.DataFrame(

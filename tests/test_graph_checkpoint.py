@@ -80,3 +80,25 @@ def test_mismatched_node_count_ignores_checkpoint(tmp_path):
     got = _ranks_df(pagerank_integer(other, iterations=2, checkpoint_dir=ck))
     clean = _ranks_df(pagerank_integer(other, iterations=2))
     pd.testing.assert_frame_equal(got, clean)
+
+
+def test_lpa_resume_is_bit_identical(tmp_path):
+    from sts_opentelemetry_collector_ray.stages.graph import (
+        label_propagation_sync,
+    )
+
+    def run(**kw):
+        ds = label_propagation_sync(_edges(), rounds=4, **kw)
+        return (
+            ds.to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+            .astype({"node": np.int64, "community": np.int64})
+        )
+
+    full = run()
+    ck = str(tmp_path / "lpa")
+    label_propagation_sync(_edges(), rounds=2, checkpoint_dir=ck).materialize()
+    assert json.load(open(os.path.join(ck, "MANIFEST.json")))["round"] == 2
+    resumed = run(checkpoint_dir=ck)
+    pd.testing.assert_frame_equal(resumed, full)
