@@ -174,8 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sts_opentelemetry_collector_ray.pipelines.queries147 import QUERIES147
     from sts_opentelemetry_collector_ray.pipelines.queries148 import QUERIES148
     from sts_opentelemetry_collector_ray.pipelines.queries149 import QUERIES149
+    from sts_opentelemetry_collector_ray.pipelines.queries150 import QUERIES150
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10, **QUERIES11, **QUERIES12, **QUERIES13, **QUERIES14, **QUERIES15, **QUERIES16, **QUERIES17, **QUERIES18, **QUERIES19, **QUERIES20, **QUERIES21, **QUERIES22, **QUERIES23, **QUERIES24, **QUERIES25, **QUERIES26, **QUERIES27, **QUERIES28, **QUERIES29, **QUERIES30, **QUERIES31, **QUERIES32, **QUERIES33, **QUERIES34, **QUERIES35, **QUERIES36, **QUERIES37, **QUERIES38, **QUERIES39, **QUERIES40, **QUERIES41, **QUERIES42, **QUERIES43, **QUERIES44, **QUERIES45, **QUERIES46, **QUERIES47, **QUERIES48, **QUERIES49, **QUERIES50, **QUERIES51, **QUERIES52, **QUERIES53, **QUERIES54, **QUERIES55, **QUERIES56, **QUERIES57, **QUERIES58, **QUERIES59, **QUERIES60, **QUERIES61, **QUERIES62, **QUERIES63, **QUERIES64, **QUERIES65, **QUERIES66, **QUERIES67, **QUERIES68, **QUERIES69, **QUERIES70, **QUERIES71, **QUERIES72, **QUERIES73, **QUERIES74, **QUERIES75, **QUERIES76, **QUERIES77, **QUERIES78, **QUERIES79, **QUERIES80, **QUERIES81, **QUERIES82, **QUERIES83, **QUERIES84, **QUERIES85, **QUERIES86, **QUERIES87, **QUERIES88, **QUERIES89, **QUERIES90, **QUERIES91, **QUERIES92, **QUERIES93, **QUERIES94, **QUERIES95, **QUERIES96, **QUERIES97, **QUERIES98, **QUERIES99, **QUERIES100, **QUERIES101, **QUERIES102, **QUERIES103, **QUERIES104, **QUERIES105, **QUERIES106, **QUERIES107, **QUERIES108, **QUERIES109, **QUERIES110, **QUERIES111, **QUERIES112, **QUERIES113, **QUERIES114, **QUERIES115, **QUERIES116, **QUERIES117, **QUERIES118, **QUERIES119, **QUERIES120, **QUERIES121, **QUERIES122, **QUERIES123, **QUERIES124, **QUERIES125, **QUERIES126, **QUERIES127, **QUERIES128, **QUERIES129, **QUERIES130, **QUERIES131, **QUERIES132, **QUERIES133, **QUERIES134, **QUERIES135, **QUERIES136, **QUERIES137, **QUERIES138, **QUERIES139, **QUERIES140, **QUERIES141, **QUERIES142, **QUERIES143, **QUERIES144, **QUERIES145, **QUERIES146, **QUERIES147, **QUERIES148, **QUERIES149}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10, **QUERIES11, **QUERIES12, **QUERIES13, **QUERIES14, **QUERIES15, **QUERIES16, **QUERIES17, **QUERIES18, **QUERIES19, **QUERIES20, **QUERIES21, **QUERIES22, **QUERIES23, **QUERIES24, **QUERIES25, **QUERIES26, **QUERIES27, **QUERIES28, **QUERIES29, **QUERIES30, **QUERIES31, **QUERIES32, **QUERIES33, **QUERIES34, **QUERIES35, **QUERIES36, **QUERIES37, **QUERIES38, **QUERIES39, **QUERIES40, **QUERIES41, **QUERIES42, **QUERIES43, **QUERIES44, **QUERIES45, **QUERIES46, **QUERIES47, **QUERIES48, **QUERIES49, **QUERIES50, **QUERIES51, **QUERIES52, **QUERIES53, **QUERIES54, **QUERIES55, **QUERIES56, **QUERIES57, **QUERIES58, **QUERIES59, **QUERIES60, **QUERIES61, **QUERIES62, **QUERIES63, **QUERIES64, **QUERIES65, **QUERIES66, **QUERIES67, **QUERIES68, **QUERIES69, **QUERIES70, **QUERIES71, **QUERIES72, **QUERIES73, **QUERIES74, **QUERIES75, **QUERIES76, **QUERIES77, **QUERIES78, **QUERIES79, **QUERIES80, **QUERIES81, **QUERIES82, **QUERIES83, **QUERIES84, **QUERIES85, **QUERIES86, **QUERIES87, **QUERIES88, **QUERIES89, **QUERIES90, **QUERIES91, **QUERIES92, **QUERIES93, **QUERIES94, **QUERIES95, **QUERIES96, **QUERIES97, **QUERIES98, **QUERIES99, **QUERIES100, **QUERIES101, **QUERIES102, **QUERIES103, **QUERIES104, **QUERIES105, **QUERIES106, **QUERIES107, **QUERIES108, **QUERIES109, **QUERIES110, **QUERIES111, **QUERIES112, **QUERIES113, **QUERIES114, **QUERIES115, **QUERIES116, **QUERIES117, **QUERIES118, **QUERIES119, **QUERIES120, **QUERIES121, **QUERIES122, **QUERIES123, **QUERIES124, **QUERIES125, **QUERIES126, **QUERIES127, **QUERIES128, **QUERIES129, **QUERIES130, **QUERIES131, **QUERIES132, **QUERIES133, **QUERIES134, **QUERIES135, **QUERIES136, **QUERIES137, **QUERIES138, **QUERIES139, **QUERIES140, **QUERIES141, **QUERIES142, **QUERIES143, **QUERIES144, **QUERIES145, **QUERIES146, **QUERIES147, **QUERIES148, **QUERIES149, **QUERIES150}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,5 +332,6 @@ def oracle_sql() -> dict[str, str]:
     from sts_opentelemetry_collector_ray.pipelines.queries147 import ORACLES147
     from sts_opentelemetry_collector_ray.pipelines.queries148 import ORACLES148
     from sts_opentelemetry_collector_ray.pipelines.queries149 import ORACLES149
+    from sts_opentelemetry_collector_ray.pipelines.queries150 import ORACLES150
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **ORACLES11, **ORACLES12, **ORACLES13, **ORACLES14, **ORACLES15, **ORACLES16, **ORACLES17, **ORACLES18, **ORACLES19, **ORACLES20, **ORACLES21, **ORACLES22, **ORACLES23, **ORACLES24, **ORACLES25, **ORACLES26, **ORACLES27, **ORACLES28, **ORACLES29, **ORACLES30, **ORACLES31, **ORACLES32, **ORACLES33, **ORACLES34, **ORACLES35, **ORACLES36, **ORACLES37, **ORACLES38, **ORACLES39, **ORACLES40, **ORACLES41, **ORACLES42, **ORACLES43, **ORACLES44, **ORACLES45, **ORACLES46, **ORACLES47, **ORACLES48, **ORACLES49, **ORACLES50, **ORACLES51, **ORACLES52, **ORACLES53, **ORACLES54, **ORACLES55, **ORACLES56, **ORACLES57, **ORACLES58, **ORACLES59, **ORACLES60, **ORACLES61, **ORACLES62, **ORACLES63, **ORACLES64, **ORACLES65, **ORACLES66, **ORACLES67, **ORACLES68, **ORACLES69, **ORACLES70, **ORACLES71, **ORACLES72, **ORACLES73, **ORACLES74, **ORACLES75, **ORACLES76, **ORACLES77, **ORACLES78, **ORACLES79, **ORACLES80, **ORACLES81, **ORACLES82, **ORACLES83, **ORACLES84, **ORACLES85, **ORACLES86, **ORACLES87, **ORACLES88, **ORACLES89, **ORACLES90, **ORACLES91, **ORACLES92, **ORACLES93, **ORACLES94, **ORACLES95, **ORACLES96, **ORACLES97, **ORACLES98, **ORACLES99, **ORACLES100, **ORACLES101, **ORACLES102, **ORACLES103, **ORACLES104, **ORACLES105, **ORACLES106, **ORACLES107, **ORACLES108, **ORACLES109, **ORACLES110, **ORACLES111, **ORACLES112, **ORACLES113, **ORACLES114, **ORACLES115, **ORACLES116, **ORACLES117, **ORACLES118, **ORACLES119, **ORACLES120, **ORACLES121, **ORACLES122, **ORACLES123, **ORACLES124, **ORACLES125, **ORACLES126, **ORACLES127, **ORACLES128, **ORACLES129, **ORACLES130, **ORACLES131, **ORACLES132, **ORACLES133, **ORACLES134, **ORACLES135, **ORACLES136, **ORACLES137, **ORACLES138, **ORACLES139, **ORACLES140, **ORACLES141, **ORACLES142, **ORACLES143, **ORACLES144, **ORACLES145, **ORACLES146, **ORACLES147, **ORACLES148, **ORACLES149, **dynamic_oracles(), **dynamic_oracles4()}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **ORACLES11, **ORACLES12, **ORACLES13, **ORACLES14, **ORACLES15, **ORACLES16, **ORACLES17, **ORACLES18, **ORACLES19, **ORACLES20, **ORACLES21, **ORACLES22, **ORACLES23, **ORACLES24, **ORACLES25, **ORACLES26, **ORACLES27, **ORACLES28, **ORACLES29, **ORACLES30, **ORACLES31, **ORACLES32, **ORACLES33, **ORACLES34, **ORACLES35, **ORACLES36, **ORACLES37, **ORACLES38, **ORACLES39, **ORACLES40, **ORACLES41, **ORACLES42, **ORACLES43, **ORACLES44, **ORACLES45, **ORACLES46, **ORACLES47, **ORACLES48, **ORACLES49, **ORACLES50, **ORACLES51, **ORACLES52, **ORACLES53, **ORACLES54, **ORACLES55, **ORACLES56, **ORACLES57, **ORACLES58, **ORACLES59, **ORACLES60, **ORACLES61, **ORACLES62, **ORACLES63, **ORACLES64, **ORACLES65, **ORACLES66, **ORACLES67, **ORACLES68, **ORACLES69, **ORACLES70, **ORACLES71, **ORACLES72, **ORACLES73, **ORACLES74, **ORACLES75, **ORACLES76, **ORACLES77, **ORACLES78, **ORACLES79, **ORACLES80, **ORACLES81, **ORACLES82, **ORACLES83, **ORACLES84, **ORACLES85, **ORACLES86, **ORACLES87, **ORACLES88, **ORACLES89, **ORACLES90, **ORACLES91, **ORACLES92, **ORACLES93, **ORACLES94, **ORACLES95, **ORACLES96, **ORACLES97, **ORACLES98, **ORACLES99, **ORACLES100, **ORACLES101, **ORACLES102, **ORACLES103, **ORACLES104, **ORACLES105, **ORACLES106, **ORACLES107, **ORACLES108, **ORACLES109, **ORACLES110, **ORACLES111, **ORACLES112, **ORACLES113, **ORACLES114, **ORACLES115, **ORACLES116, **ORACLES117, **ORACLES118, **ORACLES119, **ORACLES120, **ORACLES121, **ORACLES122, **ORACLES123, **ORACLES124, **ORACLES125, **ORACLES126, **ORACLES127, **ORACLES128, **ORACLES129, **ORACLES130, **ORACLES131, **ORACLES132, **ORACLES133, **ORACLES134, **ORACLES135, **ORACLES136, **ORACLES137, **ORACLES138, **ORACLES139, **ORACLES140, **ORACLES141, **ORACLES142, **ORACLES143, **ORACLES144, **ORACLES145, **ORACLES146, **ORACLES147, **ORACLES148, **ORACLES149, **ORACLES150, **dynamic_oracles(), **dynamic_oracles4()}
