@@ -126,29 +126,32 @@ FROM g WHERE t = m ORDER BY event_type"""
 
 
 def q_events_bass_diffusion(sf_dir: str):
-    """Bass diffusion fit (Bass 1969, discrete OLS form): daily NEW users
+    """Bass diffusion fit (Bass 1969, discrete OLS form): HOURLY new users
     S_t regressed on u = N_{t−1}/K and u² (K = total adopters; centered
     2×2 OLS), then (p, q, M) recovered from a = pM, b/K = q−p, c/K² =
     −q/M via the quadratic root M = (−b̂−√(b̂²−4aĉ))/(2ĉ) (−1 sentinels
     when the root is undefined). Output one row: n_days, a_micro, b_micro,
     c_micro, m_est, p_micro, q_micro.
 
-    Scale shape: first-seen day per user derives inside ONE user-bucket
-    exchange; the bounded daily adoption series fits on the driver."""
+    Scale shape: first-seen hour per user derives inside ONE user-bucket
+    exchange; the bounded hourly adoption series fits on the driver."""
     path = f"{sf_dir}/events.parquet"
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.select(["user_id", "ts"]).to_pandas()
-        d = df["ts"].dt
-        df["day"] = (d.year * 10_000 + d.month * 100 + d.day).astype(np.int64)
-        g = df.groupby("user_id", sort=False, as_index=False)["day"].min()
+        hour = (
+            df["ts"].astype("datetime64[us]").to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        df["hour"] = hour
+        g = df.groupby("user_id", sort=False, as_index=False)["hour"].min()
         g["_b"] = (g["user_id"].to_numpy(np.int64) % 64).astype(np.int32)
         return g
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.groupby("user_id", as_index=False)["day"].min()
-        out = pd.DataFrame({"day": u["day"].to_numpy(np.int64), "s": 1})
-        return out.groupby("day", as_index=False).sum().astype(np.int64)
+        u = g.groupby("user_id", as_index=False)["hour"].min()
+        out = pd.DataFrame({"hour": u["hour"].to_numpy(np.int64), "s": 1})
+        return out.groupby("hour", as_index=False).sum().astype(np.int64)
 
     part = (
         ray.data.read_parquet(path, columns=["user_id", "ts"])
@@ -160,8 +163,8 @@ def q_events_bass_diffusion(sf_dir: str):
     cols = ["n_days", "a_micro", "b_micro", "c_micro", "m_est", "p_micro", "q_micro"]
     if part.empty:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
-    daily = part.groupby("day")["s"].sum().sort_index()
-    s = daily.to_numpy(np.float64)
+    hourly = part.groupby("hour")["s"].sum().sort_index()
+    s = hourly.to_numpy(np.float64)
     if len(s) < 4:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
     kk = float(s.sum())
@@ -216,14 +219,13 @@ def q_events_bass_diffusion(sf_dir: str):
 ORACLES208["events_bass_diffusion"] = """
 WITH fs AS (
   SELECT user_id,
-         min(CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT))
-           AS day
+         min(epoch_us(ts) // 3600000000) AS hr
   FROM events GROUP BY 1
 ),
-daily AS (SELECT day, CAST(count(*) AS DOUBLE) AS s FROM fs GROUP BY 1),
+daily AS (SELECT hr, CAST(count(*) AS DOUBLE) AS s FROM fs GROUP BY 1),
 idx AS (
-  SELECT day, s,
-         coalesce(sum(s) OVER (ORDER BY day
+  SELECT hr, s,
+         coalesce(sum(s) OVER (ORDER BY hr
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
            AS n_prev,
          sum(s) OVER () AS kk,
