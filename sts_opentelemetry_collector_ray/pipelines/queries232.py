@@ -23,18 +23,45 @@ _RS_SIZES = (8, 16, 32)
 
 def q_events_hurst_rs(sf_dir: str):
     """Per event type: the R/S Hurst exponent (Hurst 1951; Mandelbrot &
-    Wallis 1969) — for block sizes m ∈ {8,16,32} with m ≤ n/2, average
-    R/S over FULL non-overlapping blocks (R = range of cumulative
-    deviations from the block mean, S = block population σ; S = 0 blocks
-    drop), then H = OLS slope of ln(R/S) on ln m. Output: event_type,
-    n_days, n_sizes, hurst_micro.
+    Wallis 1969) over the HOURLY count series (the 30-day daily series is
+    too short for m=16; hourly gives ~720 points so every size fits) —
+    for block sizes m ∈ {8,16,32} with m ≤ n/2, average R/S over FULL
+    non-overlapping blocks (R = range of cumulative deviations from the
+    block mean, S = block population σ; S = 0 blocks drop), then H = OLS
+    slope of ln(R/S) on ln m. Output: event_type, n_hours, n_sizes,
+    hurst_micro.
 
-    Scale shape: bounded daily fold; block scans are vectorized reshapes
-    on the driver."""
-    from .queries221 import _daily
+    Scale shape: bounded hourly fold; block scans are vectorized
+    reshapes on the driver."""
 
-    daily = _daily(sf_dir)
-    cols = ["event_type", "n_days", "n_sizes", "hurst_micro"]
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["event_type", "ts"]).to_pandas()
+        d = df["ts"].dt
+        df["hr"] = (
+            (d.year * 10_000 + d.month * 100 + d.day) * 100 + d.hour
+        ).astype(np.int64)
+        return (
+            df.groupby(["event_type", "hr"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .astype({"n": np.int64})
+        )
+
+    part = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    daily = (
+        part.groupby(["event_type", "hr"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "hr"], kind="mergesort")
+        if not part.empty
+        else part
+    )
+    cols = ["event_type", "n_hours", "n_sizes", "hurst_micro"]
     empty = pd.DataFrame(
         {c: pd.Series([], dtype=(object if c == "event_type" else np.int64))
          for c in cols}
@@ -87,7 +114,8 @@ _SIZES_SQL = ", ".join(str(m) for m in _RS_SIZES)
 ORACLES232["events_hurst_rs"] = f"""
 WITH daily AS (
   SELECT event_type,
-         CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS day,
+         CAST((year(ts) * 10000 + month(ts) * 100 + day(ts)) * 100
+              + hour(ts) AS BIGINT) AS day,
          CAST(count(*) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2
 ),
@@ -144,7 +172,7 @@ ols AS (
 ),
 nn AS (SELECT DISTINCT event_type, n FROM idx)
 SELECT ols.event_type,
-       CAST(nn.n AS BIGINT) AS n_days,
+       CAST(nn.n AS BIGINT) AS n_hours,
        CAST(ols.np AS BIGINT) AS n_sizes,
        CAST(floor((sxy - sx * sy / np) / (sxx - sx * sx / np)
                   * 1000000.0 + 0.5) AS BIGINT) AS hurst_micro
