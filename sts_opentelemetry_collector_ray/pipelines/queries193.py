@@ -26,7 +26,7 @@ _GT_MAX_R = 10
 
 def q_docs_good_turing(sf_dir: str):
     """Good-Turing smoothing table (Good 1953) over corpus word counts: for
-    r = 1..10 with n_r > 0, the count-of-counts n_r, n_{r+1}, the adjusted
+    the 10 SMALLEST observed counts r, the count-of-counts n_r, n_{r+1}, the adjusted
     count r* = (r+1)·n_{r+1}/n_r in micro units (0 when n_{r+1} = 0) and the
     unseen mass P₀ = n_1/N in micro units (constant column).
 
@@ -85,7 +85,10 @@ def q_docs_good_turing(sf_dir: str):
     n1 = int(fof.get(1, 0))
     p0 = np.int64(np.floor(n1 / float(total_tokens) * 1_000_000.0 + 0.5))
     rows = []
-    for r in range(1, _GT_MAX_R + 1):
+    # the _GT_MAX_R SMALLEST observed r values (a fixed 1..10 band is empty
+    # whenever the corpus has no rare words, as the synthetic corpus hasn't)
+    for r in sorted(fof.index.to_numpy(np.int64))[:_GT_MAX_R]:
+        r = int(r)
         nr = int(fof.get(r, 0))
         if nr == 0:
             continue
@@ -106,7 +109,7 @@ fof AS (SELECT n AS r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1),
 base AS (
   SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_next
   FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
-  WHERE a.r BETWEEN 1 AND {_GT_MAX_R}
+  QUALIFY row_number() OVER (ORDER BY a.r) <= {_GT_MAX_R}
 ),
 p0 AS (
   SELECT CAST(floor(CAST(coalesce(

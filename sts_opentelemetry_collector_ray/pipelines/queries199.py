@@ -23,7 +23,9 @@ ORACLES199: dict[str, str] = {}
 
 def q_customer_woe_iv(sf_dir: str):
     """Per balance band floor((bal+1000)/2000): counts of 'good' (has ≥1
-    order) and 'bad' customers, WOE = ln((g/G)/(b/B)) and the band's IV
+    order in the LATEST order year — every customer has SOME order by
+    construction, so lifetime presence is a constant class) and 'bad'
+    customers, WOE = ln((g/G)/(b/B)) and the band's IV
     contribution (g/G − b/B)·WOE in micro units, plus the total IV as a
     constant column (Siddiqi 2006). Bands with zero goods or bads drop.
 
@@ -33,15 +35,24 @@ def q_customer_woe_iv(sf_dir: str):
     import pyarrow.parquet as pq
 
     def oc_partial(t: pa.Table) -> pd.DataFrame:
-        df = t.select(["o_custkey"]).to_pandas().drop_duplicates()
-        return df
+        df = t.select(["o_custkey"]).to_pandas()
+        df["y"] = pd.Series(
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ).dt.year.astype(np.int64)
+        return df.groupby("o_custkey", sort=False, as_index=False)["y"].max()
 
     ocp = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
         .map_batches(oc_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    active = set(ocp["o_custkey"].unique()) if not ocp.empty else set()
+    if ocp.empty:
+        active = set()
+    else:
+        peru = ocp.groupby("o_custkey")["y"].max()
+        active = set(peru[peru == peru.max()].index)
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
     ).to_pandas()
@@ -77,7 +88,10 @@ def q_customer_woe_iv(sf_dir: str):
 
 
 ORACLES199["customer_woe_iv"] = """
-WITH act AS (SELECT DISTINCT o_custkey FROM orders),
+WITH ly AS (SELECT max(year(o_orderdate)) AS y FROM orders),
+act AS (
+  SELECT DISTINCT o_custkey FROM orders, ly WHERE year(o_orderdate) = ly.y
+),
 c AS (
   SELECT CAST(floor((c_acctbal + 1000.0) / 2000.0) AS BIGINT) AS band,
          CASE WHEN act.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS good
