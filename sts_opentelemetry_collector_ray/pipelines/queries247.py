@@ -136,11 +136,11 @@ GROUP BY label ORDER BY label"""
 
 
 # ---------------------------------------------------------------------------
-# docs_ngram_novelty — test 4-grams unseen in the train split
+# docs_split_novelty — test 4-grams unseen in the train split
 # ---------------------------------------------------------------------------
 
 
-def q_docs_ngram_novelty(sf_dir: str):
+def q_docs_split_novelty(sf_dir: str):
     """Per source: among the ODD-doc_id (test) documents' word 4-gram
     OCCURRENCES, the fraction whose 4-gram string never occurs in any
     EVEN-doc_id (train) document — the memorization/novelty complement of
@@ -227,7 +227,7 @@ def q_docs_ngram_novelty(sf_dir: str):
     )
 
 
-ORACLES247["docs_ngram_novelty"] = f"""
+ORACLES247["docs_split_novelty"] = f"""
 WITH w AS (
   SELECT source, doc_id,
          list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -255,5 +255,5 @@ GROUP BY te.source ORDER BY te.source"""
 
 QUERIES247 = {
     "emb_semdedup_prune": q_emb_semdedup_prune,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "docs_split_novelty": q_docs_split_novelty,
 }
