@@ -5,12 +5,65 @@ local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares it ag
 the matching ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash). Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Query registration is by discovery: every ``pipelines/queries*.py`` module is
+imported and its ``QUERIES*`` / ``ORACLES*`` dicts (plus ``dynamic_oracles*()``
+callables) merged. A duplicate query name across modules is a hard
+``ImportError`` at registration time — never a silent shadow (round-3 lesson:
+five late waves silently replaced five early-wave queries AND their oracles).
 """
 
 from __future__ import annotations
 
+import importlib
+import pkgutil
+import re
 from collections.abc import Callable
 from typing import Any
+
+_PKG = "sts_opentelemetry_collector_ray.pipelines"
+_MOD_RE = re.compile(r"^queries(\d*)$")
+
+
+def _wave_modules() -> list[str]:
+    """All pipelines.queries* module names, ordered by wave number (bare
+    ``queries`` first). Deterministic so merge order never depends on the OS."""
+    pkg = importlib.import_module(_PKG)
+    found: list[tuple[int, str]] = []
+    for info in pkgutil.iter_modules(pkg.__path__):
+        m = _MOD_RE.match(info.name)
+        if m:
+            found.append((int(m.group(1) or 0), info.name))
+    return [name for _, name in sorted(found)]
+
+
+def _merge(kind: str) -> dict[str, Any]:
+    """Merge every module's ``{kind}*`` dicts; raise on duplicate query names.
+
+    ``kind`` is ``"QUERIES"`` or ``"ORACLES"``. For ORACLES, also calls any
+    module-level ``dynamic_oracles*()`` functions (oracle SQL that must be
+    rendered against the current ruleset/config at call time).
+    """
+    merged: dict[str, Any] = {}
+    owner: dict[str, str] = {}
+    for mod_name in _wave_modules():
+        mod = importlib.import_module(f"{_PKG}.{mod_name}")
+        sources: list[dict[str, Any]] = []
+        for attr in dir(mod):
+            if attr.startswith(kind) and isinstance(getattr(mod, attr), dict):
+                sources.append(getattr(mod, attr))
+            if kind == "ORACLES" and attr.startswith("dynamic_oracles") and callable(getattr(mod, attr)):
+                sources.append(getattr(mod, attr)())
+        for src in sources:
+            for name, val in src.items():
+                if name in merged:
+                    raise ImportError(
+                        f"duplicate query name {name!r}: registered by "
+                        f"{owner[name]} and again by {mod_name} — rename one"
+                    )
+                merged[name] = val
+                owner[name] = mod_name
+    return merged
 
 
 def entry() -> Any:
@@ -25,807 +78,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from sts_opentelemetry_collector_ray.pipelines.queries import QUERIES
-    from sts_opentelemetry_collector_ray.pipelines.queries2 import QUERIES2
-    from sts_opentelemetry_collector_ray.pipelines.queries3 import QUERIES3
-    from sts_opentelemetry_collector_ray.pipelines.queries4 import QUERIES4
-    from sts_opentelemetry_collector_ray.pipelines.queries5 import QUERIES5
-    from sts_opentelemetry_collector_ray.pipelines.queries6 import QUERIES6
-    from sts_opentelemetry_collector_ray.pipelines.queries7 import QUERIES7
-    from sts_opentelemetry_collector_ray.pipelines.queries8 import QUERIES8
-    from sts_opentelemetry_collector_ray.pipelines.queries9 import QUERIES9
-    from sts_opentelemetry_collector_ray.pipelines.queries10 import QUERIES10
-    from sts_opentelemetry_collector_ray.pipelines.queries11 import QUERIES11
-    from sts_opentelemetry_collector_ray.pipelines.queries12 import QUERIES12
-    from sts_opentelemetry_collector_ray.pipelines.queries13 import QUERIES13
-    from sts_opentelemetry_collector_ray.pipelines.queries14 import QUERIES14
-    from sts_opentelemetry_collector_ray.pipelines.queries15 import QUERIES15
-    from sts_opentelemetry_collector_ray.pipelines.queries16 import QUERIES16
-    from sts_opentelemetry_collector_ray.pipelines.queries17 import QUERIES17
-    from sts_opentelemetry_collector_ray.pipelines.queries18 import QUERIES18
-    from sts_opentelemetry_collector_ray.pipelines.queries19 import QUERIES19
-    from sts_opentelemetry_collector_ray.pipelines.queries20 import QUERIES20
-    from sts_opentelemetry_collector_ray.pipelines.queries21 import QUERIES21
-    from sts_opentelemetry_collector_ray.pipelines.queries22 import QUERIES22
-    from sts_opentelemetry_collector_ray.pipelines.queries23 import QUERIES23
-    from sts_opentelemetry_collector_ray.pipelines.queries24 import QUERIES24
-    from sts_opentelemetry_collector_ray.pipelines.queries25 import QUERIES25
-    from sts_opentelemetry_collector_ray.pipelines.queries26 import QUERIES26
-    from sts_opentelemetry_collector_ray.pipelines.queries27 import QUERIES27
-    from sts_opentelemetry_collector_ray.pipelines.queries28 import QUERIES28
-    from sts_opentelemetry_collector_ray.pipelines.queries29 import QUERIES29
-    from sts_opentelemetry_collector_ray.pipelines.queries30 import QUERIES30
-    from sts_opentelemetry_collector_ray.pipelines.queries31 import QUERIES31
-    from sts_opentelemetry_collector_ray.pipelines.queries32 import QUERIES32
-    from sts_opentelemetry_collector_ray.pipelines.queries33 import QUERIES33
-    from sts_opentelemetry_collector_ray.pipelines.queries34 import QUERIES34
-    from sts_opentelemetry_collector_ray.pipelines.queries35 import QUERIES35
-    from sts_opentelemetry_collector_ray.pipelines.queries36 import QUERIES36
-    from sts_opentelemetry_collector_ray.pipelines.queries37 import QUERIES37
-    from sts_opentelemetry_collector_ray.pipelines.queries38 import QUERIES38
-    from sts_opentelemetry_collector_ray.pipelines.queries39 import QUERIES39
-    from sts_opentelemetry_collector_ray.pipelines.queries40 import QUERIES40
-    from sts_opentelemetry_collector_ray.pipelines.queries41 import QUERIES41
-    from sts_opentelemetry_collector_ray.pipelines.queries42 import QUERIES42
-    from sts_opentelemetry_collector_ray.pipelines.queries43 import QUERIES43
-    from sts_opentelemetry_collector_ray.pipelines.queries44 import QUERIES44
-    from sts_opentelemetry_collector_ray.pipelines.queries45 import QUERIES45
-    from sts_opentelemetry_collector_ray.pipelines.queries46 import QUERIES46
-    from sts_opentelemetry_collector_ray.pipelines.queries47 import QUERIES47
-    from sts_opentelemetry_collector_ray.pipelines.queries48 import QUERIES48
-    from sts_opentelemetry_collector_ray.pipelines.queries49 import QUERIES49
-    from sts_opentelemetry_collector_ray.pipelines.queries50 import QUERIES50
-    from sts_opentelemetry_collector_ray.pipelines.queries51 import QUERIES51
-    from sts_opentelemetry_collector_ray.pipelines.queries52 import QUERIES52
-    from sts_opentelemetry_collector_ray.pipelines.queries53 import QUERIES53
-    from sts_opentelemetry_collector_ray.pipelines.queries54 import QUERIES54
-    from sts_opentelemetry_collector_ray.pipelines.queries55 import QUERIES55
-    from sts_opentelemetry_collector_ray.pipelines.queries56 import QUERIES56
-    from sts_opentelemetry_collector_ray.pipelines.queries57 import QUERIES57
-    from sts_opentelemetry_collector_ray.pipelines.queries58 import QUERIES58
-    from sts_opentelemetry_collector_ray.pipelines.queries59 import QUERIES59
-    from sts_opentelemetry_collector_ray.pipelines.queries60 import QUERIES60
-    from sts_opentelemetry_collector_ray.pipelines.queries61 import QUERIES61
-    from sts_opentelemetry_collector_ray.pipelines.queries62 import QUERIES62
-    from sts_opentelemetry_collector_ray.pipelines.queries63 import QUERIES63
-    from sts_opentelemetry_collector_ray.pipelines.queries64 import QUERIES64
-    from sts_opentelemetry_collector_ray.pipelines.queries65 import QUERIES65
-    from sts_opentelemetry_collector_ray.pipelines.queries66 import QUERIES66
-    from sts_opentelemetry_collector_ray.pipelines.queries67 import QUERIES67
-    from sts_opentelemetry_collector_ray.pipelines.queries68 import QUERIES68
-    from sts_opentelemetry_collector_ray.pipelines.queries69 import QUERIES69
-    from sts_opentelemetry_collector_ray.pipelines.queries70 import QUERIES70
-    from sts_opentelemetry_collector_ray.pipelines.queries71 import QUERIES71
-    from sts_opentelemetry_collector_ray.pipelines.queries72 import QUERIES72
-    from sts_opentelemetry_collector_ray.pipelines.queries73 import QUERIES73
-    from sts_opentelemetry_collector_ray.pipelines.queries74 import QUERIES74
-    from sts_opentelemetry_collector_ray.pipelines.queries75 import QUERIES75
-    from sts_opentelemetry_collector_ray.pipelines.queries76 import QUERIES76
-    from sts_opentelemetry_collector_ray.pipelines.queries77 import QUERIES77
-    from sts_opentelemetry_collector_ray.pipelines.queries78 import QUERIES78
-    from sts_opentelemetry_collector_ray.pipelines.queries79 import QUERIES79
-    from sts_opentelemetry_collector_ray.pipelines.queries80 import QUERIES80
-    from sts_opentelemetry_collector_ray.pipelines.queries81 import QUERIES81
-    from sts_opentelemetry_collector_ray.pipelines.queries82 import QUERIES82
-    from sts_opentelemetry_collector_ray.pipelines.queries83 import QUERIES83
-    from sts_opentelemetry_collector_ray.pipelines.queries84 import QUERIES84
-    from sts_opentelemetry_collector_ray.pipelines.queries85 import QUERIES85
-    from sts_opentelemetry_collector_ray.pipelines.queries86 import QUERIES86
-    from sts_opentelemetry_collector_ray.pipelines.queries87 import QUERIES87
-    from sts_opentelemetry_collector_ray.pipelines.queries88 import QUERIES88
-    from sts_opentelemetry_collector_ray.pipelines.queries89 import QUERIES89
-    from sts_opentelemetry_collector_ray.pipelines.queries90 import QUERIES90
-    from sts_opentelemetry_collector_ray.pipelines.queries91 import QUERIES91
-    from sts_opentelemetry_collector_ray.pipelines.queries92 import QUERIES92
-    from sts_opentelemetry_collector_ray.pipelines.queries93 import QUERIES93
-    from sts_opentelemetry_collector_ray.pipelines.queries94 import QUERIES94
-    from sts_opentelemetry_collector_ray.pipelines.queries95 import QUERIES95
-    from sts_opentelemetry_collector_ray.pipelines.queries96 import QUERIES96
-    from sts_opentelemetry_collector_ray.pipelines.queries97 import QUERIES97
-    from sts_opentelemetry_collector_ray.pipelines.queries98 import QUERIES98
-    from sts_opentelemetry_collector_ray.pipelines.queries99 import QUERIES99
-    from sts_opentelemetry_collector_ray.pipelines.queries100 import QUERIES100
-    from sts_opentelemetry_collector_ray.pipelines.queries101 import QUERIES101
-    from sts_opentelemetry_collector_ray.pipelines.queries102 import QUERIES102
-    from sts_opentelemetry_collector_ray.pipelines.queries103 import QUERIES103
-    from sts_opentelemetry_collector_ray.pipelines.queries104 import QUERIES104
-    from sts_opentelemetry_collector_ray.pipelines.queries105 import QUERIES105
-    from sts_opentelemetry_collector_ray.pipelines.queries106 import QUERIES106
-    from sts_opentelemetry_collector_ray.pipelines.queries107 import QUERIES107
-    from sts_opentelemetry_collector_ray.pipelines.queries108 import QUERIES108
-    from sts_opentelemetry_collector_ray.pipelines.queries109 import QUERIES109
-    from sts_opentelemetry_collector_ray.pipelines.queries110 import QUERIES110
-    from sts_opentelemetry_collector_ray.pipelines.queries111 import QUERIES111
-    from sts_opentelemetry_collector_ray.pipelines.queries112 import QUERIES112
-    from sts_opentelemetry_collector_ray.pipelines.queries113 import QUERIES113
-    from sts_opentelemetry_collector_ray.pipelines.queries114 import QUERIES114
-    from sts_opentelemetry_collector_ray.pipelines.queries115 import QUERIES115
-    from sts_opentelemetry_collector_ray.pipelines.queries116 import QUERIES116
-    from sts_opentelemetry_collector_ray.pipelines.queries117 import QUERIES117
-    from sts_opentelemetry_collector_ray.pipelines.queries118 import QUERIES118
-    from sts_opentelemetry_collector_ray.pipelines.queries119 import QUERIES119
-    from sts_opentelemetry_collector_ray.pipelines.queries120 import QUERIES120
-    from sts_opentelemetry_collector_ray.pipelines.queries121 import QUERIES121
-    from sts_opentelemetry_collector_ray.pipelines.queries122 import QUERIES122
-    from sts_opentelemetry_collector_ray.pipelines.queries123 import QUERIES123
-    from sts_opentelemetry_collector_ray.pipelines.queries124 import QUERIES124
-    from sts_opentelemetry_collector_ray.pipelines.queries125 import QUERIES125
-    from sts_opentelemetry_collector_ray.pipelines.queries126 import QUERIES126
-    from sts_opentelemetry_collector_ray.pipelines.queries127 import QUERIES127
-    from sts_opentelemetry_collector_ray.pipelines.queries128 import QUERIES128
-    from sts_opentelemetry_collector_ray.pipelines.queries129 import QUERIES129
-    from sts_opentelemetry_collector_ray.pipelines.queries130 import QUERIES130
-    from sts_opentelemetry_collector_ray.pipelines.queries131 import QUERIES131
-    from sts_opentelemetry_collector_ray.pipelines.queries132 import QUERIES132
-    from sts_opentelemetry_collector_ray.pipelines.queries133 import QUERIES133
-    from sts_opentelemetry_collector_ray.pipelines.queries134 import QUERIES134
-    from sts_opentelemetry_collector_ray.pipelines.queries135 import QUERIES135
-    from sts_opentelemetry_collector_ray.pipelines.queries136 import QUERIES136
-    from sts_opentelemetry_collector_ray.pipelines.queries137 import QUERIES137
-    from sts_opentelemetry_collector_ray.pipelines.queries138 import QUERIES138
-    from sts_opentelemetry_collector_ray.pipelines.queries139 import QUERIES139
-    from sts_opentelemetry_collector_ray.pipelines.queries140 import QUERIES140
-    from sts_opentelemetry_collector_ray.pipelines.queries141 import QUERIES141
-    from sts_opentelemetry_collector_ray.pipelines.queries142 import QUERIES142
-    from sts_opentelemetry_collector_ray.pipelines.queries143 import QUERIES143
-    from sts_opentelemetry_collector_ray.pipelines.queries144 import QUERIES144
-    from sts_opentelemetry_collector_ray.pipelines.queries145 import QUERIES145
-    from sts_opentelemetry_collector_ray.pipelines.queries146 import QUERIES146
-    from sts_opentelemetry_collector_ray.pipelines.queries147 import QUERIES147
-    from sts_opentelemetry_collector_ray.pipelines.queries148 import QUERIES148
-    from sts_opentelemetry_collector_ray.pipelines.queries149 import QUERIES149
-    from sts_opentelemetry_collector_ray.pipelines.queries150 import QUERIES150
-    from sts_opentelemetry_collector_ray.pipelines.queries151 import QUERIES151
-    from sts_opentelemetry_collector_ray.pipelines.queries152 import QUERIES152
-    from sts_opentelemetry_collector_ray.pipelines.queries153 import QUERIES153
-    from sts_opentelemetry_collector_ray.pipelines.queries154 import QUERIES154
-    from sts_opentelemetry_collector_ray.pipelines.queries155 import QUERIES155
-    from sts_opentelemetry_collector_ray.pipelines.queries156 import QUERIES156
-    from sts_opentelemetry_collector_ray.pipelines.queries157 import QUERIES157
-    from sts_opentelemetry_collector_ray.pipelines.queries158 import QUERIES158
-    from sts_opentelemetry_collector_ray.pipelines.queries159 import QUERIES159
-    from sts_opentelemetry_collector_ray.pipelines.queries160 import QUERIES160
-    from sts_opentelemetry_collector_ray.pipelines.queries161 import QUERIES161
-    from sts_opentelemetry_collector_ray.pipelines.queries162 import QUERIES162
-    from sts_opentelemetry_collector_ray.pipelines.queries163 import QUERIES163
-    from sts_opentelemetry_collector_ray.pipelines.queries164 import QUERIES164
-    from sts_opentelemetry_collector_ray.pipelines.queries165 import QUERIES165
-    from sts_opentelemetry_collector_ray.pipelines.queries166 import QUERIES166
-    from sts_opentelemetry_collector_ray.pipelines.queries167 import QUERIES167
-    from sts_opentelemetry_collector_ray.pipelines.queries168 import QUERIES168
-    from sts_opentelemetry_collector_ray.pipelines.queries169 import QUERIES169
-    from sts_opentelemetry_collector_ray.pipelines.queries170 import QUERIES170
-    from sts_opentelemetry_collector_ray.pipelines.queries171 import QUERIES171
-    from sts_opentelemetry_collector_ray.pipelines.queries172 import QUERIES172
-    from sts_opentelemetry_collector_ray.pipelines.queries173 import QUERIES173
-    from sts_opentelemetry_collector_ray.pipelines.queries174 import QUERIES174
-    from sts_opentelemetry_collector_ray.pipelines.queries175 import QUERIES175
-    from sts_opentelemetry_collector_ray.pipelines.queries176 import QUERIES176
-    from sts_opentelemetry_collector_ray.pipelines.queries177 import QUERIES177
-    from sts_opentelemetry_collector_ray.pipelines.queries178 import QUERIES178
-    from sts_opentelemetry_collector_ray.pipelines.queries179 import QUERIES179
-    from sts_opentelemetry_collector_ray.pipelines.queries180 import QUERIES180
-    from sts_opentelemetry_collector_ray.pipelines.queries181 import QUERIES181
-    from sts_opentelemetry_collector_ray.pipelines.queries182 import QUERIES182
-    from sts_opentelemetry_collector_ray.pipelines.queries183 import QUERIES183
-    from sts_opentelemetry_collector_ray.pipelines.queries184 import QUERIES184
-    from sts_opentelemetry_collector_ray.pipelines.queries185 import QUERIES185
-    from sts_opentelemetry_collector_ray.pipelines.queries186 import QUERIES186
-    from sts_opentelemetry_collector_ray.pipelines.queries187 import QUERIES187
-    from sts_opentelemetry_collector_ray.pipelines.queries188 import QUERIES188
-    from sts_opentelemetry_collector_ray.pipelines.queries189 import QUERIES189
-    from sts_opentelemetry_collector_ray.pipelines.queries190 import QUERIES190
-    from sts_opentelemetry_collector_ray.pipelines.queries191 import QUERIES191
-    from sts_opentelemetry_collector_ray.pipelines.queries192 import QUERIES192
-    from sts_opentelemetry_collector_ray.pipelines.queries193 import QUERIES193
-    from sts_opentelemetry_collector_ray.pipelines.queries194 import QUERIES194
-    from sts_opentelemetry_collector_ray.pipelines.queries195 import QUERIES195
-    from sts_opentelemetry_collector_ray.pipelines.queries196 import QUERIES196
-    from sts_opentelemetry_collector_ray.pipelines.queries197 import QUERIES197
-    from sts_opentelemetry_collector_ray.pipelines.queries198 import QUERIES198
-    from sts_opentelemetry_collector_ray.pipelines.queries199 import QUERIES199
-    from sts_opentelemetry_collector_ray.pipelines.queries200 import QUERIES200
-    from sts_opentelemetry_collector_ray.pipelines.queries201 import QUERIES201
-    from sts_opentelemetry_collector_ray.pipelines.queries202 import QUERIES202
-    from sts_opentelemetry_collector_ray.pipelines.queries203 import QUERIES203
-    from sts_opentelemetry_collector_ray.pipelines.queries204 import QUERIES204
-    from sts_opentelemetry_collector_ray.pipelines.queries205 import QUERIES205
-    from sts_opentelemetry_collector_ray.pipelines.queries206 import QUERIES206
-    from sts_opentelemetry_collector_ray.pipelines.queries207 import QUERIES207
-    from sts_opentelemetry_collector_ray.pipelines.queries208 import QUERIES208
-    from sts_opentelemetry_collector_ray.pipelines.queries209 import QUERIES209
-    from sts_opentelemetry_collector_ray.pipelines.queries210 import QUERIES210
-    from sts_opentelemetry_collector_ray.pipelines.queries211 import QUERIES211
-    from sts_opentelemetry_collector_ray.pipelines.queries212 import QUERIES212
-    from sts_opentelemetry_collector_ray.pipelines.queries213 import QUERIES213
-    from sts_opentelemetry_collector_ray.pipelines.queries214 import QUERIES214
-    from sts_opentelemetry_collector_ray.pipelines.queries215 import QUERIES215
-    from sts_opentelemetry_collector_ray.pipelines.queries216 import QUERIES216
-    from sts_opentelemetry_collector_ray.pipelines.queries217 import QUERIES217
-    from sts_opentelemetry_collector_ray.pipelines.queries218 import QUERIES218
-    from sts_opentelemetry_collector_ray.pipelines.queries219 import QUERIES219
-    from sts_opentelemetry_collector_ray.pipelines.queries220 import QUERIES220
-    from sts_opentelemetry_collector_ray.pipelines.queries221 import QUERIES221
-    from sts_opentelemetry_collector_ray.pipelines.queries222 import QUERIES222
-    from sts_opentelemetry_collector_ray.pipelines.queries223 import QUERIES223
-    from sts_opentelemetry_collector_ray.pipelines.queries224 import QUERIES224
-    from sts_opentelemetry_collector_ray.pipelines.queries225 import QUERIES225
-    from sts_opentelemetry_collector_ray.pipelines.queries226 import QUERIES226
-    from sts_opentelemetry_collector_ray.pipelines.queries227 import QUERIES227
-    from sts_opentelemetry_collector_ray.pipelines.queries228 import QUERIES228
-    from sts_opentelemetry_collector_ray.pipelines.queries229 import QUERIES229
-    from sts_opentelemetry_collector_ray.pipelines.queries230 import QUERIES230
-    from sts_opentelemetry_collector_ray.pipelines.queries231 import QUERIES231
-    from sts_opentelemetry_collector_ray.pipelines.queries232 import QUERIES232
-    from sts_opentelemetry_collector_ray.pipelines.queries233 import QUERIES233
-    from sts_opentelemetry_collector_ray.pipelines.queries234 import QUERIES234
-    from sts_opentelemetry_collector_ray.pipelines.queries235 import QUERIES235
-    from sts_opentelemetry_collector_ray.pipelines.queries236 import QUERIES236
-    from sts_opentelemetry_collector_ray.pipelines.queries237 import QUERIES237
-    from sts_opentelemetry_collector_ray.pipelines.queries238 import QUERIES238
-    from sts_opentelemetry_collector_ray.pipelines.queries239 import QUERIES239
-    from sts_opentelemetry_collector_ray.pipelines.queries240 import QUERIES240
-    from sts_opentelemetry_collector_ray.pipelines.queries241 import QUERIES241
-    from sts_opentelemetry_collector_ray.pipelines.queries242 import QUERIES242
-    from sts_opentelemetry_collector_ray.pipelines.queries243 import QUERIES243
-    from sts_opentelemetry_collector_ray.pipelines.queries244 import QUERIES244
-    from sts_opentelemetry_collector_ray.pipelines.queries245 import QUERIES245
-    from sts_opentelemetry_collector_ray.pipelines.queries246 import QUERIES246
-    from sts_opentelemetry_collector_ray.pipelines.queries247 import QUERIES247
-    from sts_opentelemetry_collector_ray.pipelines.queries248 import QUERIES248
-    from sts_opentelemetry_collector_ray.pipelines.queries249 import QUERIES249
-    from sts_opentelemetry_collector_ray.pipelines.queries250 import QUERIES250
-    from sts_opentelemetry_collector_ray.pipelines.queries251 import QUERIES251
-    from sts_opentelemetry_collector_ray.pipelines.queries252 import QUERIES252
-    from sts_opentelemetry_collector_ray.pipelines.queries253 import QUERIES253
-    from sts_opentelemetry_collector_ray.pipelines.queries254 import QUERIES254
-    from sts_opentelemetry_collector_ray.pipelines.queries255 import QUERIES255
-    from sts_opentelemetry_collector_ray.pipelines.queries256 import QUERIES256
-    from sts_opentelemetry_collector_ray.pipelines.queries257 import QUERIES257
-    from sts_opentelemetry_collector_ray.pipelines.queries258 import QUERIES258
-    from sts_opentelemetry_collector_ray.pipelines.queries259 import QUERIES259
-    from sts_opentelemetry_collector_ray.pipelines.queries260 import QUERIES260
-    from sts_opentelemetry_collector_ray.pipelines.queries261 import QUERIES261
-    from sts_opentelemetry_collector_ray.pipelines.queries262 import QUERIES262
-    from sts_opentelemetry_collector_ray.pipelines.queries263 import QUERIES263
-    from sts_opentelemetry_collector_ray.pipelines.queries264 import QUERIES264
-    from sts_opentelemetry_collector_ray.pipelines.queries265 import QUERIES265
-    from sts_opentelemetry_collector_ray.pipelines.queries266 import QUERIES266
-    from sts_opentelemetry_collector_ray.pipelines.queries267 import QUERIES267
-    from sts_opentelemetry_collector_ray.pipelines.queries268 import QUERIES268
-    from sts_opentelemetry_collector_ray.pipelines.queries269 import QUERIES269
-    from sts_opentelemetry_collector_ray.pipelines.queries270 import QUERIES270
-    from sts_opentelemetry_collector_ray.pipelines.queries271 import QUERIES271
-    from sts_opentelemetry_collector_ray.pipelines.queries272 import QUERIES272
-    from sts_opentelemetry_collector_ray.pipelines.queries273 import QUERIES273
-    from sts_opentelemetry_collector_ray.pipelines.queries274 import QUERIES274
-    from sts_opentelemetry_collector_ray.pipelines.queries275 import QUERIES275
-    from sts_opentelemetry_collector_ray.pipelines.queries276 import QUERIES276
-    from sts_opentelemetry_collector_ray.pipelines.queries277 import QUERIES277
-    from sts_opentelemetry_collector_ray.pipelines.queries278 import QUERIES278
-    from sts_opentelemetry_collector_ray.pipelines.queries279 import QUERIES279
-    from sts_opentelemetry_collector_ray.pipelines.queries280 import QUERIES280
-    from sts_opentelemetry_collector_ray.pipelines.queries281 import QUERIES281
-    from sts_opentelemetry_collector_ray.pipelines.queries282 import QUERIES282
-    from sts_opentelemetry_collector_ray.pipelines.queries283 import QUERIES283
-    from sts_opentelemetry_collector_ray.pipelines.queries284 import QUERIES284
-    from sts_opentelemetry_collector_ray.pipelines.queries285 import QUERIES285
-    from sts_opentelemetry_collector_ray.pipelines.queries286 import QUERIES286
-    from sts_opentelemetry_collector_ray.pipelines.queries287 import QUERIES287
-    from sts_opentelemetry_collector_ray.pipelines.queries288 import QUERIES288
-    from sts_opentelemetry_collector_ray.pipelines.queries289 import QUERIES289
-    from sts_opentelemetry_collector_ray.pipelines.queries290 import QUERIES290
-    from sts_opentelemetry_collector_ray.pipelines.queries291 import QUERIES291
-    from sts_opentelemetry_collector_ray.pipelines.queries292 import QUERIES292
-    from sts_opentelemetry_collector_ray.pipelines.queries293 import QUERIES293
-    from sts_opentelemetry_collector_ray.pipelines.queries294 import QUERIES294
-    from sts_opentelemetry_collector_ray.pipelines.queries295 import QUERIES295
-    from sts_opentelemetry_collector_ray.pipelines.queries296 import QUERIES296
-    from sts_opentelemetry_collector_ray.pipelines.queries297 import QUERIES297
-    from sts_opentelemetry_collector_ray.pipelines.queries298 import QUERIES298
-    from sts_opentelemetry_collector_ray.pipelines.queries299 import QUERIES299
-    from sts_opentelemetry_collector_ray.pipelines.queries300 import QUERIES300
-    from sts_opentelemetry_collector_ray.pipelines.queries301 import QUERIES301
-    from sts_opentelemetry_collector_ray.pipelines.queries302 import QUERIES302
-    from sts_opentelemetry_collector_ray.pipelines.queries303 import QUERIES303
-    from sts_opentelemetry_collector_ray.pipelines.queries304 import QUERIES304
-    from sts_opentelemetry_collector_ray.pipelines.queries305 import QUERIES305
-    from sts_opentelemetry_collector_ray.pipelines.queries306 import QUERIES306
-    from sts_opentelemetry_collector_ray.pipelines.queries307 import QUERIES307
-    from sts_opentelemetry_collector_ray.pipelines.queries308 import QUERIES308
-    from sts_opentelemetry_collector_ray.pipelines.queries309 import QUERIES309
-    from sts_opentelemetry_collector_ray.pipelines.queries310 import QUERIES310
-    from sts_opentelemetry_collector_ray.pipelines.queries311 import QUERIES311
-    from sts_opentelemetry_collector_ray.pipelines.queries312 import QUERIES312
-    from sts_opentelemetry_collector_ray.pipelines.queries313 import QUERIES313
-    from sts_opentelemetry_collector_ray.pipelines.queries314 import QUERIES314
-    from sts_opentelemetry_collector_ray.pipelines.queries315 import QUERIES315
-    from sts_opentelemetry_collector_ray.pipelines.queries316 import QUERIES316
-    from sts_opentelemetry_collector_ray.pipelines.queries317 import QUERIES317
-    from sts_opentelemetry_collector_ray.pipelines.queries318 import QUERIES318
-    from sts_opentelemetry_collector_ray.pipelines.queries319 import QUERIES319
-    from sts_opentelemetry_collector_ray.pipelines.queries320 import QUERIES320
-    from sts_opentelemetry_collector_ray.pipelines.queries321 import QUERIES321
-    from sts_opentelemetry_collector_ray.pipelines.queries322 import QUERIES322
-    from sts_opentelemetry_collector_ray.pipelines.queries323 import QUERIES323
-    from sts_opentelemetry_collector_ray.pipelines.queries324 import QUERIES324
-    from sts_opentelemetry_collector_ray.pipelines.queries325 import QUERIES325
-    from sts_opentelemetry_collector_ray.pipelines.queries326 import QUERIES326
-    from sts_opentelemetry_collector_ray.pipelines.queries327 import QUERIES327
-    from sts_opentelemetry_collector_ray.pipelines.queries328 import QUERIES328
-    from sts_opentelemetry_collector_ray.pipelines.queries329 import QUERIES329
-    from sts_opentelemetry_collector_ray.pipelines.queries330 import QUERIES330
-    from sts_opentelemetry_collector_ray.pipelines.queries331 import QUERIES331
-    from sts_opentelemetry_collector_ray.pipelines.queries332 import QUERIES332
-    from sts_opentelemetry_collector_ray.pipelines.queries333 import QUERIES333
-    from sts_opentelemetry_collector_ray.pipelines.queries334 import QUERIES334
-    from sts_opentelemetry_collector_ray.pipelines.queries335 import QUERIES335
-    from sts_opentelemetry_collector_ray.pipelines.queries336 import QUERIES336
-    from sts_opentelemetry_collector_ray.pipelines.queries337 import QUERIES337
-    from sts_opentelemetry_collector_ray.pipelines.queries338 import QUERIES338
-    from sts_opentelemetry_collector_ray.pipelines.queries339 import QUERIES339
-    from sts_opentelemetry_collector_ray.pipelines.queries340 import QUERIES340
-    from sts_opentelemetry_collector_ray.pipelines.queries341 import QUERIES341
-    from sts_opentelemetry_collector_ray.pipelines.queries342 import QUERIES342
-    from sts_opentelemetry_collector_ray.pipelines.queries343 import QUERIES343
-    from sts_opentelemetry_collector_ray.pipelines.queries344 import QUERIES344
-    from sts_opentelemetry_collector_ray.pipelines.queries345 import QUERIES345
-    from sts_opentelemetry_collector_ray.pipelines.queries346 import QUERIES346
-    from sts_opentelemetry_collector_ray.pipelines.queries347 import QUERIES347
-    from sts_opentelemetry_collector_ray.pipelines.queries348 import QUERIES348
-    from sts_opentelemetry_collector_ray.pipelines.queries349 import QUERIES349
-    from sts_opentelemetry_collector_ray.pipelines.queries350 import QUERIES350
-    from sts_opentelemetry_collector_ray.pipelines.queries351 import QUERIES351
-    from sts_opentelemetry_collector_ray.pipelines.queries352 import QUERIES352
-    from sts_opentelemetry_collector_ray.pipelines.queries353 import QUERIES353
-    from sts_opentelemetry_collector_ray.pipelines.queries354 import QUERIES354
-    from sts_opentelemetry_collector_ray.pipelines.queries355 import QUERIES355
-    from sts_opentelemetry_collector_ray.pipelines.queries356 import QUERIES356
-    from sts_opentelemetry_collector_ray.pipelines.queries357 import QUERIES357
-    from sts_opentelemetry_collector_ray.pipelines.queries358 import QUERIES358
-    from sts_opentelemetry_collector_ray.pipelines.queries359 import QUERIES359
-    from sts_opentelemetry_collector_ray.pipelines.queries360 import QUERIES360
-    from sts_opentelemetry_collector_ray.pipelines.queries361 import QUERIES361
-    from sts_opentelemetry_collector_ray.pipelines.queries362 import QUERIES362
-    from sts_opentelemetry_collector_ray.pipelines.queries363 import QUERIES363
-    from sts_opentelemetry_collector_ray.pipelines.queries364 import QUERIES364
-    from sts_opentelemetry_collector_ray.pipelines.queries365 import QUERIES365
-    from sts_opentelemetry_collector_ray.pipelines.queries366 import QUERIES366
-    from sts_opentelemetry_collector_ray.pipelines.queries367 import QUERIES367
-    from sts_opentelemetry_collector_ray.pipelines.queries368 import QUERIES368
-    from sts_opentelemetry_collector_ray.pipelines.queries369 import QUERIES369
-    from sts_opentelemetry_collector_ray.pipelines.queries370 import QUERIES370
-    from sts_opentelemetry_collector_ray.pipelines.queries371 import QUERIES371
-    from sts_opentelemetry_collector_ray.pipelines.queries372 import QUERIES372
-    from sts_opentelemetry_collector_ray.pipelines.queries373 import QUERIES373
-    from sts_opentelemetry_collector_ray.pipelines.queries374 import QUERIES374
-    from sts_opentelemetry_collector_ray.pipelines.queries375 import QUERIES375
-    from sts_opentelemetry_collector_ray.pipelines.queries376 import QUERIES376
-    from sts_opentelemetry_collector_ray.pipelines.queries377 import QUERIES377
-    from sts_opentelemetry_collector_ray.pipelines.queries378 import QUERIES378
-    from sts_opentelemetry_collector_ray.pipelines.queries379 import QUERIES379
-    from sts_opentelemetry_collector_ray.pipelines.queries380 import QUERIES380
-    from sts_opentelemetry_collector_ray.pipelines.queries381 import QUERIES381
-    from sts_opentelemetry_collector_ray.pipelines.queries382 import QUERIES382
-    from sts_opentelemetry_collector_ray.pipelines.queries383 import QUERIES383
-    from sts_opentelemetry_collector_ray.pipelines.queries384 import QUERIES384
-    from sts_opentelemetry_collector_ray.pipelines.queries385 import QUERIES385
-    from sts_opentelemetry_collector_ray.pipelines.queries386 import QUERIES386
-    from sts_opentelemetry_collector_ray.pipelines.queries387 import QUERIES387
-    from sts_opentelemetry_collector_ray.pipelines.queries388 import QUERIES388
-    from sts_opentelemetry_collector_ray.pipelines.queries389 import QUERIES389
-    from sts_opentelemetry_collector_ray.pipelines.queries390 import QUERIES390
-    from sts_opentelemetry_collector_ray.pipelines.queries391 import QUERIES391
-    from sts_opentelemetry_collector_ray.pipelines.queries392 import QUERIES392
-    from sts_opentelemetry_collector_ray.pipelines.queries393 import QUERIES393
-    from sts_opentelemetry_collector_ray.pipelines.queries394 import QUERIES394
-    from sts_opentelemetry_collector_ray.pipelines.queries395 import QUERIES395
-    from sts_opentelemetry_collector_ray.pipelines.queries396 import QUERIES396
-    from sts_opentelemetry_collector_ray.pipelines.queries397 import QUERIES397
-
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9, **QUERIES10, **QUERIES11, **QUERIES12, **QUERIES13, **QUERIES14, **QUERIES15, **QUERIES16, **QUERIES17, **QUERIES18, **QUERIES19, **QUERIES20, **QUERIES21, **QUERIES22, **QUERIES23, **QUERIES24, **QUERIES25, **QUERIES26, **QUERIES27, **QUERIES28, **QUERIES29, **QUERIES30, **QUERIES31, **QUERIES32, **QUERIES33, **QUERIES34, **QUERIES35, **QUERIES36, **QUERIES37, **QUERIES38, **QUERIES39, **QUERIES40, **QUERIES41, **QUERIES42, **QUERIES43, **QUERIES44, **QUERIES45, **QUERIES46, **QUERIES47, **QUERIES48, **QUERIES49, **QUERIES50, **QUERIES51, **QUERIES52, **QUERIES53, **QUERIES54, **QUERIES55, **QUERIES56, **QUERIES57, **QUERIES58, **QUERIES59, **QUERIES60, **QUERIES61, **QUERIES62, **QUERIES63, **QUERIES64, **QUERIES65, **QUERIES66, **QUERIES67, **QUERIES68, **QUERIES69, **QUERIES70, **QUERIES71, **QUERIES72, **QUERIES73, **QUERIES74, **QUERIES75, **QUERIES76, **QUERIES77, **QUERIES78, **QUERIES79, **QUERIES80, **QUERIES81, **QUERIES82, **QUERIES83, **QUERIES84, **QUERIES85, **QUERIES86, **QUERIES87, **QUERIES88, **QUERIES89, **QUERIES90, **QUERIES91, **QUERIES92, **QUERIES93, **QUERIES94, **QUERIES95, **QUERIES96, **QUERIES97, **QUERIES98, **QUERIES99, **QUERIES100, **QUERIES101, **QUERIES102, **QUERIES103, **QUERIES104, **QUERIES105, **QUERIES106, **QUERIES107, **QUERIES108, **QUERIES109, **QUERIES110, **QUERIES111, **QUERIES112, **QUERIES113, **QUERIES114, **QUERIES115, **QUERIES116, **QUERIES117, **QUERIES118, **QUERIES119, **QUERIES120, **QUERIES121, **QUERIES122, **QUERIES123, **QUERIES124, **QUERIES125, **QUERIES126, **QUERIES127, **QUERIES128, **QUERIES129, **QUERIES130, **QUERIES131, **QUERIES132, **QUERIES133, **QUERIES134, **QUERIES135, **QUERIES136, **QUERIES137, **QUERIES138, **QUERIES139, **QUERIES140, **QUERIES141, **QUERIES142, **QUERIES143, **QUERIES144, **QUERIES145, **QUERIES146, **QUERIES147, **QUERIES148, **QUERIES149, **QUERIES150, **QUERIES151, **QUERIES152, **QUERIES153, **QUERIES154, **QUERIES155, **QUERIES156, **QUERIES157, **QUERIES158, **QUERIES159, **QUERIES160, **QUERIES161, **QUERIES162, **QUERIES163, **QUERIES164, **QUERIES165, **QUERIES166, **QUERIES167, **QUERIES168, **QUERIES169, **QUERIES170, **QUERIES171, **QUERIES172, **QUERIES173, **QUERIES174, **QUERIES175, **QUERIES176, **QUERIES177, **QUERIES178, **QUERIES179, **QUERIES180, **QUERIES181, **QUERIES182, **QUERIES183, **QUERIES184, **QUERIES185, **QUERIES186, **QUERIES187, **QUERIES188, **QUERIES189, **QUERIES190, **QUERIES191, **QUERIES192, **QUERIES193, **QUERIES194, **QUERIES195, **QUERIES196, **QUERIES197, **QUERIES198, **QUERIES199, **QUERIES200, **QUERIES201, **QUERIES202, **QUERIES203, **QUERIES204, **QUERIES205, **QUERIES206, **QUERIES207, **QUERIES208, **QUERIES209, **QUERIES210, **QUERIES211, **QUERIES212, **QUERIES213, **QUERIES214, **QUERIES215, **QUERIES216, **QUERIES217, **QUERIES218, **QUERIES219, **QUERIES220, **QUERIES221, **QUERIES222, **QUERIES223, **QUERIES224, **QUERIES225, **QUERIES226, **QUERIES227, **QUERIES228, **QUERIES229, **QUERIES230, **QUERIES231, **QUERIES232, **QUERIES233, **QUERIES234, **QUERIES235, **QUERIES236, **QUERIES237, **QUERIES238, **QUERIES239, **QUERIES240, **QUERIES241, **QUERIES242, **QUERIES243, **QUERIES244, **QUERIES245, **QUERIES246, **QUERIES247, **QUERIES248, **QUERIES249, **QUERIES250, **QUERIES251, **QUERIES252, **QUERIES253, **QUERIES254, **QUERIES255, **QUERIES256, **QUERIES257, **QUERIES258, **QUERIES259, **QUERIES260, **QUERIES261, **QUERIES262, **QUERIES263, **QUERIES264, **QUERIES265, **QUERIES266, **QUERIES267, **QUERIES268, **QUERIES269, **QUERIES270, **QUERIES271, **QUERIES272, **QUERIES273, **QUERIES274, **QUERIES275, **QUERIES276, **QUERIES277, **QUERIES278, **QUERIES279, **QUERIES280, **QUERIES281, **QUERIES282, **QUERIES283, **QUERIES284, **QUERIES285, **QUERIES286, **QUERIES287, **QUERIES288, **QUERIES289, **QUERIES290, **QUERIES291, **QUERIES292, **QUERIES293, **QUERIES294, **QUERIES295, **QUERIES296, **QUERIES297, **QUERIES298, **QUERIES299, **QUERIES300, **QUERIES301, **QUERIES302, **QUERIES303, **QUERIES304, **QUERIES305, **QUERIES306, **QUERIES307, **QUERIES308, **QUERIES309, **QUERIES310, **QUERIES311, **QUERIES312, **QUERIES313, **QUERIES314, **QUERIES315, **QUERIES316, **QUERIES317, **QUERIES318, **QUERIES319, **QUERIES320, **QUERIES321, **QUERIES322, **QUERIES323, **QUERIES324, **QUERIES325, **QUERIES326, **QUERIES327, **QUERIES328, **QUERIES329, **QUERIES330, **QUERIES331, **QUERIES332, **QUERIES333, **QUERIES334, **QUERIES335, **QUERIES336, **QUERIES337, **QUERIES338, **QUERIES339, **QUERIES340, **QUERIES341, **QUERIES342, **QUERIES343, **QUERIES344, **QUERIES345, **QUERIES346, **QUERIES347, **QUERIES348, **QUERIES349, **QUERIES350, **QUERIES351, **QUERIES352, **QUERIES353, **QUERIES354, **QUERIES355, **QUERIES356, **QUERIES357, **QUERIES358, **QUERIES359, **QUERIES360, **QUERIES361, **QUERIES362, **QUERIES363, **QUERIES364, **QUERIES365, **QUERIES366, **QUERIES367, **QUERIES368, **QUERIES369, **QUERIES370, **QUERIES371, **QUERIES372, **QUERIES373, **QUERIES374, **QUERIES375, **QUERIES376, **QUERIES377, **QUERIES378, **QUERIES379, **QUERIES380, **QUERIES381, **QUERIES382, **QUERIES383, **QUERIES384, **QUERIES385, **QUERIES386, **QUERIES387, **QUERIES388, **QUERIES389, **QUERIES390, **QUERIES391, **QUERIES392, **QUERIES393, **QUERIES394, **QUERIES395, **QUERIES396, **QUERIES397}
+    return _merge("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names and types). Queries
     absent here (LSH/heuristic operators) get the driver's rows-only check; their
     brute-force oracles live in tests/."""
-    from sts_opentelemetry_collector_ray.pipelines.queries import ORACLES
-    from sts_opentelemetry_collector_ray.pipelines.queries2 import ORACLES2
-    from sts_opentelemetry_collector_ray.pipelines.queries3 import ORACLES3, dynamic_oracles
-    from sts_opentelemetry_collector_ray.pipelines.queries4 import ORACLES4, dynamic_oracles4
-    from sts_opentelemetry_collector_ray.pipelines.queries5 import ORACLES5
-    from sts_opentelemetry_collector_ray.pipelines.queries6 import ORACLES6
-    from sts_opentelemetry_collector_ray.pipelines.queries7 import ORACLES7
-    from sts_opentelemetry_collector_ray.pipelines.queries8 import ORACLES8
-    from sts_opentelemetry_collector_ray.pipelines.queries9 import ORACLES9
-    from sts_opentelemetry_collector_ray.pipelines.queries10 import ORACLES10
-    from sts_opentelemetry_collector_ray.pipelines.queries11 import ORACLES11
-    from sts_opentelemetry_collector_ray.pipelines.queries12 import ORACLES12
-    from sts_opentelemetry_collector_ray.pipelines.queries13 import ORACLES13
-    from sts_opentelemetry_collector_ray.pipelines.queries14 import ORACLES14
-    from sts_opentelemetry_collector_ray.pipelines.queries15 import ORACLES15
-    from sts_opentelemetry_collector_ray.pipelines.queries16 import ORACLES16
-    from sts_opentelemetry_collector_ray.pipelines.queries17 import ORACLES17
-    from sts_opentelemetry_collector_ray.pipelines.queries18 import ORACLES18
-    from sts_opentelemetry_collector_ray.pipelines.queries19 import ORACLES19
-    from sts_opentelemetry_collector_ray.pipelines.queries20 import ORACLES20
-    from sts_opentelemetry_collector_ray.pipelines.queries21 import ORACLES21
-    from sts_opentelemetry_collector_ray.pipelines.queries22 import ORACLES22
-    from sts_opentelemetry_collector_ray.pipelines.queries23 import ORACLES23
-    from sts_opentelemetry_collector_ray.pipelines.queries24 import ORACLES24
-    from sts_opentelemetry_collector_ray.pipelines.queries25 import ORACLES25
-    from sts_opentelemetry_collector_ray.pipelines.queries26 import ORACLES26
-    from sts_opentelemetry_collector_ray.pipelines.queries27 import ORACLES27
-    from sts_opentelemetry_collector_ray.pipelines.queries28 import ORACLES28
-    from sts_opentelemetry_collector_ray.pipelines.queries29 import ORACLES29
-    from sts_opentelemetry_collector_ray.pipelines.queries30 import ORACLES30
-    from sts_opentelemetry_collector_ray.pipelines.queries31 import ORACLES31
-    from sts_opentelemetry_collector_ray.pipelines.queries32 import ORACLES32
-    from sts_opentelemetry_collector_ray.pipelines.queries33 import ORACLES33
-    from sts_opentelemetry_collector_ray.pipelines.queries34 import ORACLES34
-    from sts_opentelemetry_collector_ray.pipelines.queries35 import ORACLES35
-    from sts_opentelemetry_collector_ray.pipelines.queries36 import ORACLES36
-    from sts_opentelemetry_collector_ray.pipelines.queries37 import ORACLES37
-    from sts_opentelemetry_collector_ray.pipelines.queries38 import ORACLES38
-    from sts_opentelemetry_collector_ray.pipelines.queries39 import ORACLES39
-    from sts_opentelemetry_collector_ray.pipelines.queries40 import ORACLES40
-    from sts_opentelemetry_collector_ray.pipelines.queries41 import ORACLES41
-    from sts_opentelemetry_collector_ray.pipelines.queries42 import ORACLES42
-    from sts_opentelemetry_collector_ray.pipelines.queries43 import ORACLES43
-    from sts_opentelemetry_collector_ray.pipelines.queries44 import ORACLES44
-    from sts_opentelemetry_collector_ray.pipelines.queries45 import ORACLES45
-    from sts_opentelemetry_collector_ray.pipelines.queries46 import ORACLES46
-    from sts_opentelemetry_collector_ray.pipelines.queries47 import ORACLES47
-    from sts_opentelemetry_collector_ray.pipelines.queries48 import ORACLES48
-    from sts_opentelemetry_collector_ray.pipelines.queries49 import ORACLES49
-    from sts_opentelemetry_collector_ray.pipelines.queries50 import ORACLES50
-    from sts_opentelemetry_collector_ray.pipelines.queries51 import ORACLES51
-    from sts_opentelemetry_collector_ray.pipelines.queries52 import ORACLES52
-    from sts_opentelemetry_collector_ray.pipelines.queries53 import ORACLES53
-    from sts_opentelemetry_collector_ray.pipelines.queries54 import ORACLES54
-    from sts_opentelemetry_collector_ray.pipelines.queries55 import ORACLES55
-    from sts_opentelemetry_collector_ray.pipelines.queries56 import ORACLES56
-    from sts_opentelemetry_collector_ray.pipelines.queries57 import ORACLES57
-    from sts_opentelemetry_collector_ray.pipelines.queries58 import ORACLES58
-    from sts_opentelemetry_collector_ray.pipelines.queries59 import ORACLES59
-    from sts_opentelemetry_collector_ray.pipelines.queries60 import ORACLES60
-    from sts_opentelemetry_collector_ray.pipelines.queries61 import ORACLES61
-    from sts_opentelemetry_collector_ray.pipelines.queries62 import ORACLES62
-    from sts_opentelemetry_collector_ray.pipelines.queries63 import ORACLES63
-    from sts_opentelemetry_collector_ray.pipelines.queries64 import ORACLES64
-    from sts_opentelemetry_collector_ray.pipelines.queries65 import ORACLES65
-    from sts_opentelemetry_collector_ray.pipelines.queries66 import ORACLES66
-    from sts_opentelemetry_collector_ray.pipelines.queries67 import ORACLES67
-    from sts_opentelemetry_collector_ray.pipelines.queries68 import ORACLES68
-    from sts_opentelemetry_collector_ray.pipelines.queries69 import ORACLES69
-    from sts_opentelemetry_collector_ray.pipelines.queries70 import ORACLES70
-    from sts_opentelemetry_collector_ray.pipelines.queries71 import ORACLES71
-    from sts_opentelemetry_collector_ray.pipelines.queries72 import ORACLES72
-    from sts_opentelemetry_collector_ray.pipelines.queries73 import ORACLES73
-    from sts_opentelemetry_collector_ray.pipelines.queries74 import ORACLES74
-    from sts_opentelemetry_collector_ray.pipelines.queries75 import ORACLES75
-    from sts_opentelemetry_collector_ray.pipelines.queries76 import ORACLES76
-    from sts_opentelemetry_collector_ray.pipelines.queries77 import ORACLES77
-    from sts_opentelemetry_collector_ray.pipelines.queries78 import ORACLES78
-    from sts_opentelemetry_collector_ray.pipelines.queries79 import ORACLES79
-    from sts_opentelemetry_collector_ray.pipelines.queries80 import ORACLES80
-    from sts_opentelemetry_collector_ray.pipelines.queries81 import ORACLES81
-    from sts_opentelemetry_collector_ray.pipelines.queries82 import ORACLES82
-    from sts_opentelemetry_collector_ray.pipelines.queries83 import ORACLES83
-    from sts_opentelemetry_collector_ray.pipelines.queries84 import ORACLES84
-    from sts_opentelemetry_collector_ray.pipelines.queries85 import ORACLES85
-    from sts_opentelemetry_collector_ray.pipelines.queries86 import ORACLES86
-    from sts_opentelemetry_collector_ray.pipelines.queries87 import ORACLES87
-    from sts_opentelemetry_collector_ray.pipelines.queries88 import ORACLES88
-    from sts_opentelemetry_collector_ray.pipelines.queries89 import ORACLES89
-    from sts_opentelemetry_collector_ray.pipelines.queries90 import ORACLES90
-    from sts_opentelemetry_collector_ray.pipelines.queries91 import ORACLES91
-    from sts_opentelemetry_collector_ray.pipelines.queries92 import ORACLES92
-    from sts_opentelemetry_collector_ray.pipelines.queries93 import ORACLES93
-    from sts_opentelemetry_collector_ray.pipelines.queries94 import ORACLES94
-    from sts_opentelemetry_collector_ray.pipelines.queries95 import ORACLES95
-    from sts_opentelemetry_collector_ray.pipelines.queries96 import ORACLES96
-    from sts_opentelemetry_collector_ray.pipelines.queries97 import ORACLES97
-    from sts_opentelemetry_collector_ray.pipelines.queries98 import ORACLES98
-    from sts_opentelemetry_collector_ray.pipelines.queries99 import ORACLES99
-    from sts_opentelemetry_collector_ray.pipelines.queries100 import ORACLES100
-    from sts_opentelemetry_collector_ray.pipelines.queries101 import ORACLES101
-    from sts_opentelemetry_collector_ray.pipelines.queries102 import ORACLES102
-    from sts_opentelemetry_collector_ray.pipelines.queries103 import ORACLES103
-    from sts_opentelemetry_collector_ray.pipelines.queries104 import ORACLES104
-    from sts_opentelemetry_collector_ray.pipelines.queries105 import ORACLES105
-    from sts_opentelemetry_collector_ray.pipelines.queries106 import ORACLES106
-    from sts_opentelemetry_collector_ray.pipelines.queries107 import ORACLES107
-    from sts_opentelemetry_collector_ray.pipelines.queries108 import ORACLES108
-    from sts_opentelemetry_collector_ray.pipelines.queries109 import ORACLES109
-    from sts_opentelemetry_collector_ray.pipelines.queries110 import ORACLES110
-    from sts_opentelemetry_collector_ray.pipelines.queries111 import ORACLES111
-    from sts_opentelemetry_collector_ray.pipelines.queries112 import ORACLES112
-    from sts_opentelemetry_collector_ray.pipelines.queries113 import ORACLES113
-    from sts_opentelemetry_collector_ray.pipelines.queries114 import ORACLES114
-    from sts_opentelemetry_collector_ray.pipelines.queries115 import ORACLES115
-    from sts_opentelemetry_collector_ray.pipelines.queries116 import ORACLES116
-    from sts_opentelemetry_collector_ray.pipelines.queries117 import ORACLES117
-    from sts_opentelemetry_collector_ray.pipelines.queries118 import ORACLES118
-    from sts_opentelemetry_collector_ray.pipelines.queries119 import ORACLES119
-    from sts_opentelemetry_collector_ray.pipelines.queries120 import ORACLES120
-    from sts_opentelemetry_collector_ray.pipelines.queries121 import ORACLES121
-    from sts_opentelemetry_collector_ray.pipelines.queries122 import ORACLES122
-    from sts_opentelemetry_collector_ray.pipelines.queries123 import ORACLES123
-    from sts_opentelemetry_collector_ray.pipelines.queries124 import ORACLES124
-    from sts_opentelemetry_collector_ray.pipelines.queries125 import ORACLES125
-    from sts_opentelemetry_collector_ray.pipelines.queries126 import ORACLES126
-    from sts_opentelemetry_collector_ray.pipelines.queries127 import ORACLES127
-    from sts_opentelemetry_collector_ray.pipelines.queries128 import ORACLES128
-    from sts_opentelemetry_collector_ray.pipelines.queries129 import ORACLES129
-    from sts_opentelemetry_collector_ray.pipelines.queries130 import ORACLES130
-    from sts_opentelemetry_collector_ray.pipelines.queries131 import ORACLES131
-    from sts_opentelemetry_collector_ray.pipelines.queries132 import ORACLES132
-    from sts_opentelemetry_collector_ray.pipelines.queries133 import ORACLES133
-    from sts_opentelemetry_collector_ray.pipelines.queries134 import ORACLES134
-    from sts_opentelemetry_collector_ray.pipelines.queries135 import ORACLES135
-    from sts_opentelemetry_collector_ray.pipelines.queries136 import ORACLES136
-    from sts_opentelemetry_collector_ray.pipelines.queries137 import ORACLES137
-    from sts_opentelemetry_collector_ray.pipelines.queries138 import ORACLES138
-    from sts_opentelemetry_collector_ray.pipelines.queries139 import ORACLES139
-    from sts_opentelemetry_collector_ray.pipelines.queries140 import ORACLES140
-    from sts_opentelemetry_collector_ray.pipelines.queries141 import ORACLES141
-    from sts_opentelemetry_collector_ray.pipelines.queries142 import ORACLES142
-    from sts_opentelemetry_collector_ray.pipelines.queries143 import ORACLES143
-    from sts_opentelemetry_collector_ray.pipelines.queries144 import ORACLES144
-    from sts_opentelemetry_collector_ray.pipelines.queries145 import ORACLES145
-    from sts_opentelemetry_collector_ray.pipelines.queries146 import ORACLES146
-    from sts_opentelemetry_collector_ray.pipelines.queries147 import ORACLES147
-    from sts_opentelemetry_collector_ray.pipelines.queries148 import ORACLES148
-    from sts_opentelemetry_collector_ray.pipelines.queries149 import ORACLES149
-    from sts_opentelemetry_collector_ray.pipelines.queries150 import ORACLES150
-    from sts_opentelemetry_collector_ray.pipelines.queries151 import ORACLES151
-    from sts_opentelemetry_collector_ray.pipelines.queries152 import ORACLES152
-    from sts_opentelemetry_collector_ray.pipelines.queries153 import ORACLES153
-    from sts_opentelemetry_collector_ray.pipelines.queries154 import ORACLES154
-    from sts_opentelemetry_collector_ray.pipelines.queries155 import ORACLES155
-    from sts_opentelemetry_collector_ray.pipelines.queries156 import ORACLES156
-    from sts_opentelemetry_collector_ray.pipelines.queries157 import ORACLES157
-    from sts_opentelemetry_collector_ray.pipelines.queries158 import ORACLES158
-    from sts_opentelemetry_collector_ray.pipelines.queries159 import ORACLES159
-    from sts_opentelemetry_collector_ray.pipelines.queries160 import ORACLES160
-    from sts_opentelemetry_collector_ray.pipelines.queries161 import ORACLES161
-    from sts_opentelemetry_collector_ray.pipelines.queries162 import ORACLES162
-    from sts_opentelemetry_collector_ray.pipelines.queries163 import ORACLES163
-    from sts_opentelemetry_collector_ray.pipelines.queries164 import ORACLES164
-    from sts_opentelemetry_collector_ray.pipelines.queries165 import ORACLES165
-    from sts_opentelemetry_collector_ray.pipelines.queries166 import ORACLES166
-    from sts_opentelemetry_collector_ray.pipelines.queries167 import ORACLES167
-    from sts_opentelemetry_collector_ray.pipelines.queries168 import ORACLES168
-    from sts_opentelemetry_collector_ray.pipelines.queries169 import ORACLES169
-    from sts_opentelemetry_collector_ray.pipelines.queries170 import ORACLES170
-    from sts_opentelemetry_collector_ray.pipelines.queries171 import ORACLES171
-    from sts_opentelemetry_collector_ray.pipelines.queries172 import ORACLES172
-    from sts_opentelemetry_collector_ray.pipelines.queries173 import ORACLES173
-    from sts_opentelemetry_collector_ray.pipelines.queries174 import ORACLES174
-    from sts_opentelemetry_collector_ray.pipelines.queries175 import ORACLES175
-    from sts_opentelemetry_collector_ray.pipelines.queries176 import ORACLES176
-    from sts_opentelemetry_collector_ray.pipelines.queries177 import ORACLES177
-    from sts_opentelemetry_collector_ray.pipelines.queries178 import ORACLES178
-    from sts_opentelemetry_collector_ray.pipelines.queries179 import ORACLES179
-    from sts_opentelemetry_collector_ray.pipelines.queries180 import ORACLES180
-    from sts_opentelemetry_collector_ray.pipelines.queries181 import ORACLES181
-    from sts_opentelemetry_collector_ray.pipelines.queries182 import ORACLES182
-    from sts_opentelemetry_collector_ray.pipelines.queries183 import ORACLES183
-    from sts_opentelemetry_collector_ray.pipelines.queries184 import ORACLES184
-    from sts_opentelemetry_collector_ray.pipelines.queries185 import ORACLES185
-    from sts_opentelemetry_collector_ray.pipelines.queries186 import ORACLES186
-    from sts_opentelemetry_collector_ray.pipelines.queries187 import ORACLES187
-    from sts_opentelemetry_collector_ray.pipelines.queries188 import ORACLES188
-    from sts_opentelemetry_collector_ray.pipelines.queries189 import ORACLES189
-    from sts_opentelemetry_collector_ray.pipelines.queries190 import ORACLES190
-    from sts_opentelemetry_collector_ray.pipelines.queries191 import ORACLES191
-    from sts_opentelemetry_collector_ray.pipelines.queries192 import ORACLES192
-    from sts_opentelemetry_collector_ray.pipelines.queries193 import ORACLES193
-    from sts_opentelemetry_collector_ray.pipelines.queries194 import ORACLES194
-    from sts_opentelemetry_collector_ray.pipelines.queries195 import ORACLES195
-    from sts_opentelemetry_collector_ray.pipelines.queries196 import ORACLES196
-    from sts_opentelemetry_collector_ray.pipelines.queries197 import ORACLES197
-    from sts_opentelemetry_collector_ray.pipelines.queries198 import ORACLES198
-    from sts_opentelemetry_collector_ray.pipelines.queries199 import ORACLES199
-    from sts_opentelemetry_collector_ray.pipelines.queries200 import ORACLES200
-    from sts_opentelemetry_collector_ray.pipelines.queries201 import ORACLES201
-    from sts_opentelemetry_collector_ray.pipelines.queries202 import ORACLES202
-    from sts_opentelemetry_collector_ray.pipelines.queries203 import ORACLES203
-    from sts_opentelemetry_collector_ray.pipelines.queries204 import ORACLES204
-    from sts_opentelemetry_collector_ray.pipelines.queries205 import ORACLES205
-    from sts_opentelemetry_collector_ray.pipelines.queries206 import ORACLES206
-    from sts_opentelemetry_collector_ray.pipelines.queries207 import ORACLES207
-    from sts_opentelemetry_collector_ray.pipelines.queries208 import ORACLES208
-    from sts_opentelemetry_collector_ray.pipelines.queries209 import ORACLES209
-    from sts_opentelemetry_collector_ray.pipelines.queries210 import ORACLES210
-    from sts_opentelemetry_collector_ray.pipelines.queries211 import ORACLES211
-    from sts_opentelemetry_collector_ray.pipelines.queries212 import ORACLES212
-    from sts_opentelemetry_collector_ray.pipelines.queries213 import ORACLES213
-    from sts_opentelemetry_collector_ray.pipelines.queries214 import ORACLES214
-    from sts_opentelemetry_collector_ray.pipelines.queries215 import ORACLES215
-    from sts_opentelemetry_collector_ray.pipelines.queries216 import ORACLES216
-    from sts_opentelemetry_collector_ray.pipelines.queries217 import ORACLES217
-    from sts_opentelemetry_collector_ray.pipelines.queries218 import ORACLES218
-    from sts_opentelemetry_collector_ray.pipelines.queries219 import ORACLES219
-    from sts_opentelemetry_collector_ray.pipelines.queries220 import ORACLES220
-    from sts_opentelemetry_collector_ray.pipelines.queries221 import ORACLES221
-    from sts_opentelemetry_collector_ray.pipelines.queries222 import ORACLES222
-    from sts_opentelemetry_collector_ray.pipelines.queries223 import ORACLES223
-    from sts_opentelemetry_collector_ray.pipelines.queries224 import ORACLES224
-    from sts_opentelemetry_collector_ray.pipelines.queries225 import ORACLES225
-    from sts_opentelemetry_collector_ray.pipelines.queries226 import ORACLES226
-    from sts_opentelemetry_collector_ray.pipelines.queries227 import ORACLES227
-    from sts_opentelemetry_collector_ray.pipelines.queries228 import ORACLES228
-    from sts_opentelemetry_collector_ray.pipelines.queries229 import ORACLES229
-    from sts_opentelemetry_collector_ray.pipelines.queries230 import ORACLES230
-    from sts_opentelemetry_collector_ray.pipelines.queries231 import ORACLES231
-    from sts_opentelemetry_collector_ray.pipelines.queries232 import ORACLES232
-    from sts_opentelemetry_collector_ray.pipelines.queries233 import ORACLES233
-    from sts_opentelemetry_collector_ray.pipelines.queries234 import ORACLES234
-    from sts_opentelemetry_collector_ray.pipelines.queries235 import ORACLES235
-    from sts_opentelemetry_collector_ray.pipelines.queries236 import ORACLES236
-    from sts_opentelemetry_collector_ray.pipelines.queries237 import ORACLES237
-    from sts_opentelemetry_collector_ray.pipelines.queries238 import ORACLES238
-    from sts_opentelemetry_collector_ray.pipelines.queries239 import ORACLES239
-    from sts_opentelemetry_collector_ray.pipelines.queries240 import ORACLES240
-    from sts_opentelemetry_collector_ray.pipelines.queries241 import ORACLES241
-    from sts_opentelemetry_collector_ray.pipelines.queries242 import ORACLES242
-    from sts_opentelemetry_collector_ray.pipelines.queries243 import ORACLES243
-    from sts_opentelemetry_collector_ray.pipelines.queries244 import ORACLES244
-    from sts_opentelemetry_collector_ray.pipelines.queries245 import ORACLES245
-    from sts_opentelemetry_collector_ray.pipelines.queries246 import ORACLES246
-    from sts_opentelemetry_collector_ray.pipelines.queries247 import ORACLES247
-    from sts_opentelemetry_collector_ray.pipelines.queries248 import ORACLES248
-    from sts_opentelemetry_collector_ray.pipelines.queries249 import ORACLES249
-    from sts_opentelemetry_collector_ray.pipelines.queries250 import ORACLES250
-    from sts_opentelemetry_collector_ray.pipelines.queries251 import ORACLES251
-    from sts_opentelemetry_collector_ray.pipelines.queries252 import ORACLES252
-    from sts_opentelemetry_collector_ray.pipelines.queries253 import ORACLES253
-    from sts_opentelemetry_collector_ray.pipelines.queries254 import ORACLES254
-    from sts_opentelemetry_collector_ray.pipelines.queries255 import ORACLES255
-    from sts_opentelemetry_collector_ray.pipelines.queries256 import ORACLES256
-    from sts_opentelemetry_collector_ray.pipelines.queries257 import ORACLES257
-    from sts_opentelemetry_collector_ray.pipelines.queries258 import ORACLES258
-    from sts_opentelemetry_collector_ray.pipelines.queries259 import ORACLES259
-    from sts_opentelemetry_collector_ray.pipelines.queries260 import ORACLES260
-    from sts_opentelemetry_collector_ray.pipelines.queries261 import ORACLES261
-    from sts_opentelemetry_collector_ray.pipelines.queries262 import ORACLES262
-    from sts_opentelemetry_collector_ray.pipelines.queries263 import ORACLES263
-    from sts_opentelemetry_collector_ray.pipelines.queries264 import ORACLES264
-    from sts_opentelemetry_collector_ray.pipelines.queries265 import ORACLES265
-    from sts_opentelemetry_collector_ray.pipelines.queries266 import ORACLES266
-    from sts_opentelemetry_collector_ray.pipelines.queries267 import ORACLES267
-    from sts_opentelemetry_collector_ray.pipelines.queries268 import ORACLES268
-    from sts_opentelemetry_collector_ray.pipelines.queries269 import ORACLES269
-    from sts_opentelemetry_collector_ray.pipelines.queries270 import ORACLES270
-    from sts_opentelemetry_collector_ray.pipelines.queries271 import ORACLES271
-    from sts_opentelemetry_collector_ray.pipelines.queries272 import ORACLES272
-    from sts_opentelemetry_collector_ray.pipelines.queries273 import ORACLES273
-    from sts_opentelemetry_collector_ray.pipelines.queries274 import ORACLES274
-    from sts_opentelemetry_collector_ray.pipelines.queries275 import ORACLES275
-    from sts_opentelemetry_collector_ray.pipelines.queries276 import ORACLES276
-    from sts_opentelemetry_collector_ray.pipelines.queries277 import ORACLES277
-    from sts_opentelemetry_collector_ray.pipelines.queries278 import ORACLES278
-    from sts_opentelemetry_collector_ray.pipelines.queries279 import ORACLES279
-    from sts_opentelemetry_collector_ray.pipelines.queries280 import ORACLES280
-    from sts_opentelemetry_collector_ray.pipelines.queries281 import ORACLES281
-    from sts_opentelemetry_collector_ray.pipelines.queries282 import ORACLES282
-    from sts_opentelemetry_collector_ray.pipelines.queries283 import ORACLES283
-    from sts_opentelemetry_collector_ray.pipelines.queries284 import ORACLES284
-    from sts_opentelemetry_collector_ray.pipelines.queries285 import ORACLES285
-    from sts_opentelemetry_collector_ray.pipelines.queries286 import ORACLES286
-    from sts_opentelemetry_collector_ray.pipelines.queries287 import ORACLES287
-    from sts_opentelemetry_collector_ray.pipelines.queries288 import ORACLES288
-    from sts_opentelemetry_collector_ray.pipelines.queries289 import ORACLES289
-    from sts_opentelemetry_collector_ray.pipelines.queries290 import ORACLES290
-    from sts_opentelemetry_collector_ray.pipelines.queries291 import ORACLES291
-    from sts_opentelemetry_collector_ray.pipelines.queries292 import ORACLES292
-    from sts_opentelemetry_collector_ray.pipelines.queries293 import ORACLES293
-    from sts_opentelemetry_collector_ray.pipelines.queries294 import ORACLES294
-    from sts_opentelemetry_collector_ray.pipelines.queries295 import ORACLES295
-    from sts_opentelemetry_collector_ray.pipelines.queries296 import ORACLES296
-    from sts_opentelemetry_collector_ray.pipelines.queries297 import ORACLES297
-    from sts_opentelemetry_collector_ray.pipelines.queries298 import ORACLES298
-    from sts_opentelemetry_collector_ray.pipelines.queries299 import ORACLES299
-    from sts_opentelemetry_collector_ray.pipelines.queries300 import ORACLES300
-    from sts_opentelemetry_collector_ray.pipelines.queries301 import ORACLES301
-    from sts_opentelemetry_collector_ray.pipelines.queries302 import ORACLES302
-    from sts_opentelemetry_collector_ray.pipelines.queries303 import ORACLES303
-    from sts_opentelemetry_collector_ray.pipelines.queries304 import ORACLES304
-    from sts_opentelemetry_collector_ray.pipelines.queries305 import ORACLES305
-    from sts_opentelemetry_collector_ray.pipelines.queries306 import ORACLES306
-    from sts_opentelemetry_collector_ray.pipelines.queries307 import ORACLES307
-    from sts_opentelemetry_collector_ray.pipelines.queries308 import ORACLES308
-    from sts_opentelemetry_collector_ray.pipelines.queries309 import ORACLES309
-    from sts_opentelemetry_collector_ray.pipelines.queries310 import ORACLES310
-    from sts_opentelemetry_collector_ray.pipelines.queries311 import ORACLES311
-    from sts_opentelemetry_collector_ray.pipelines.queries312 import ORACLES312
-    from sts_opentelemetry_collector_ray.pipelines.queries313 import ORACLES313
-    from sts_opentelemetry_collector_ray.pipelines.queries314 import ORACLES314
-    from sts_opentelemetry_collector_ray.pipelines.queries315 import ORACLES315
-    from sts_opentelemetry_collector_ray.pipelines.queries316 import ORACLES316
-    from sts_opentelemetry_collector_ray.pipelines.queries317 import ORACLES317
-    from sts_opentelemetry_collector_ray.pipelines.queries318 import ORACLES318
-    from sts_opentelemetry_collector_ray.pipelines.queries319 import ORACLES319
-    from sts_opentelemetry_collector_ray.pipelines.queries320 import ORACLES320
-    from sts_opentelemetry_collector_ray.pipelines.queries321 import ORACLES321
-    from sts_opentelemetry_collector_ray.pipelines.queries322 import ORACLES322
-    from sts_opentelemetry_collector_ray.pipelines.queries323 import ORACLES323
-    from sts_opentelemetry_collector_ray.pipelines.queries324 import ORACLES324
-    from sts_opentelemetry_collector_ray.pipelines.queries325 import ORACLES325
-    from sts_opentelemetry_collector_ray.pipelines.queries326 import ORACLES326
-    from sts_opentelemetry_collector_ray.pipelines.queries327 import ORACLES327
-    from sts_opentelemetry_collector_ray.pipelines.queries328 import ORACLES328
-    from sts_opentelemetry_collector_ray.pipelines.queries329 import ORACLES329
-    from sts_opentelemetry_collector_ray.pipelines.queries330 import ORACLES330
-    from sts_opentelemetry_collector_ray.pipelines.queries331 import ORACLES331
-    from sts_opentelemetry_collector_ray.pipelines.queries332 import ORACLES332
-    from sts_opentelemetry_collector_ray.pipelines.queries333 import ORACLES333
-    from sts_opentelemetry_collector_ray.pipelines.queries334 import ORACLES334
-    from sts_opentelemetry_collector_ray.pipelines.queries335 import ORACLES335
-    from sts_opentelemetry_collector_ray.pipelines.queries336 import ORACLES336
-    from sts_opentelemetry_collector_ray.pipelines.queries337 import ORACLES337
-    from sts_opentelemetry_collector_ray.pipelines.queries338 import ORACLES338
-    from sts_opentelemetry_collector_ray.pipelines.queries339 import ORACLES339
-    from sts_opentelemetry_collector_ray.pipelines.queries340 import ORACLES340
-    from sts_opentelemetry_collector_ray.pipelines.queries341 import ORACLES341
-    from sts_opentelemetry_collector_ray.pipelines.queries342 import ORACLES342
-    from sts_opentelemetry_collector_ray.pipelines.queries343 import ORACLES343
-    from sts_opentelemetry_collector_ray.pipelines.queries344 import ORACLES344
-    from sts_opentelemetry_collector_ray.pipelines.queries345 import ORACLES345
-    from sts_opentelemetry_collector_ray.pipelines.queries346 import ORACLES346
-    from sts_opentelemetry_collector_ray.pipelines.queries347 import ORACLES347
-    from sts_opentelemetry_collector_ray.pipelines.queries348 import ORACLES348
-    from sts_opentelemetry_collector_ray.pipelines.queries349 import ORACLES349
-    from sts_opentelemetry_collector_ray.pipelines.queries350 import ORACLES350
-    from sts_opentelemetry_collector_ray.pipelines.queries351 import ORACLES351
-    from sts_opentelemetry_collector_ray.pipelines.queries352 import ORACLES352
-    from sts_opentelemetry_collector_ray.pipelines.queries353 import ORACLES353
-    from sts_opentelemetry_collector_ray.pipelines.queries354 import ORACLES354
-    from sts_opentelemetry_collector_ray.pipelines.queries355 import ORACLES355
-    from sts_opentelemetry_collector_ray.pipelines.queries356 import ORACLES356
-    from sts_opentelemetry_collector_ray.pipelines.queries357 import ORACLES357
-    from sts_opentelemetry_collector_ray.pipelines.queries358 import ORACLES358
-    from sts_opentelemetry_collector_ray.pipelines.queries359 import ORACLES359
-    from sts_opentelemetry_collector_ray.pipelines.queries360 import ORACLES360
-    from sts_opentelemetry_collector_ray.pipelines.queries361 import ORACLES361
-    from sts_opentelemetry_collector_ray.pipelines.queries362 import ORACLES362
-    from sts_opentelemetry_collector_ray.pipelines.queries363 import ORACLES363
-    from sts_opentelemetry_collector_ray.pipelines.queries364 import ORACLES364
-    from sts_opentelemetry_collector_ray.pipelines.queries365 import ORACLES365
-    from sts_opentelemetry_collector_ray.pipelines.queries366 import ORACLES366
-    from sts_opentelemetry_collector_ray.pipelines.queries367 import ORACLES367
-    from sts_opentelemetry_collector_ray.pipelines.queries368 import ORACLES368
-    from sts_opentelemetry_collector_ray.pipelines.queries369 import ORACLES369
-    from sts_opentelemetry_collector_ray.pipelines.queries370 import ORACLES370
-    from sts_opentelemetry_collector_ray.pipelines.queries371 import ORACLES371
-    from sts_opentelemetry_collector_ray.pipelines.queries372 import ORACLES372
-    from sts_opentelemetry_collector_ray.pipelines.queries373 import ORACLES373
-    from sts_opentelemetry_collector_ray.pipelines.queries374 import ORACLES374
-    from sts_opentelemetry_collector_ray.pipelines.queries375 import ORACLES375
-    from sts_opentelemetry_collector_ray.pipelines.queries376 import ORACLES376
-    from sts_opentelemetry_collector_ray.pipelines.queries377 import ORACLES377
-    from sts_opentelemetry_collector_ray.pipelines.queries378 import ORACLES378
-    from sts_opentelemetry_collector_ray.pipelines.queries379 import ORACLES379
-    from sts_opentelemetry_collector_ray.pipelines.queries380 import ORACLES380
-    from sts_opentelemetry_collector_ray.pipelines.queries381 import ORACLES381
-    from sts_opentelemetry_collector_ray.pipelines.queries382 import ORACLES382
-    from sts_opentelemetry_collector_ray.pipelines.queries383 import ORACLES383
-    from sts_opentelemetry_collector_ray.pipelines.queries384 import ORACLES384
-    from sts_opentelemetry_collector_ray.pipelines.queries385 import ORACLES385
-    from sts_opentelemetry_collector_ray.pipelines.queries386 import ORACLES386
-    from sts_opentelemetry_collector_ray.pipelines.queries387 import ORACLES387
-    from sts_opentelemetry_collector_ray.pipelines.queries388 import ORACLES388
-    from sts_opentelemetry_collector_ray.pipelines.queries389 import ORACLES389
-    from sts_opentelemetry_collector_ray.pipelines.queries390 import ORACLES390
-    from sts_opentelemetry_collector_ray.pipelines.queries391 import ORACLES391
-    from sts_opentelemetry_collector_ray.pipelines.queries392 import ORACLES392
-    from sts_opentelemetry_collector_ray.pipelines.queries393 import ORACLES393
-    from sts_opentelemetry_collector_ray.pipelines.queries394 import ORACLES394
-    from sts_opentelemetry_collector_ray.pipelines.queries395 import ORACLES395
-    from sts_opentelemetry_collector_ray.pipelines.queries396 import ORACLES396
-    from sts_opentelemetry_collector_ray.pipelines.queries397 import ORACLES397
-
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9, **ORACLES10, **ORACLES11, **ORACLES12, **ORACLES13, **ORACLES14, **ORACLES15, **ORACLES16, **ORACLES17, **ORACLES18, **ORACLES19, **ORACLES20, **ORACLES21, **ORACLES22, **ORACLES23, **ORACLES24, **ORACLES25, **ORACLES26, **ORACLES27, **ORACLES28, **ORACLES29, **ORACLES30, **ORACLES31, **ORACLES32, **ORACLES33, **ORACLES34, **ORACLES35, **ORACLES36, **ORACLES37, **ORACLES38, **ORACLES39, **ORACLES40, **ORACLES41, **ORACLES42, **ORACLES43, **ORACLES44, **ORACLES45, **ORACLES46, **ORACLES47, **ORACLES48, **ORACLES49, **ORACLES50, **ORACLES51, **ORACLES52, **ORACLES53, **ORACLES54, **ORACLES55, **ORACLES56, **ORACLES57, **ORACLES58, **ORACLES59, **ORACLES60, **ORACLES61, **ORACLES62, **ORACLES63, **ORACLES64, **ORACLES65, **ORACLES66, **ORACLES67, **ORACLES68, **ORACLES69, **ORACLES70, **ORACLES71, **ORACLES72, **ORACLES73, **ORACLES74, **ORACLES75, **ORACLES76, **ORACLES77, **ORACLES78, **ORACLES79, **ORACLES80, **ORACLES81, **ORACLES82, **ORACLES83, **ORACLES84, **ORACLES85, **ORACLES86, **ORACLES87, **ORACLES88, **ORACLES89, **ORACLES90, **ORACLES91, **ORACLES92, **ORACLES93, **ORACLES94, **ORACLES95, **ORACLES96, **ORACLES97, **ORACLES98, **ORACLES99, **ORACLES100, **ORACLES101, **ORACLES102, **ORACLES103, **ORACLES104, **ORACLES105, **ORACLES106, **ORACLES107, **ORACLES108, **ORACLES109, **ORACLES110, **ORACLES111, **ORACLES112, **ORACLES113, **ORACLES114, **ORACLES115, **ORACLES116, **ORACLES117, **ORACLES118, **ORACLES119, **ORACLES120, **ORACLES121, **ORACLES122, **ORACLES123, **ORACLES124, **ORACLES125, **ORACLES126, **ORACLES127, **ORACLES128, **ORACLES129, **ORACLES130, **ORACLES131, **ORACLES132, **ORACLES133, **ORACLES134, **ORACLES135, **ORACLES136, **ORACLES137, **ORACLES138, **ORACLES139, **ORACLES140, **ORACLES141, **ORACLES142, **ORACLES143, **ORACLES144, **ORACLES145, **ORACLES146, **ORACLES147, **ORACLES148, **ORACLES149, **ORACLES150, **ORACLES151, **ORACLES152, **ORACLES153, **ORACLES154, **ORACLES155, **ORACLES156, **ORACLES157, **ORACLES158, **ORACLES159, **ORACLES160, **ORACLES161, **ORACLES162, **ORACLES163, **ORACLES164, **ORACLES165, **ORACLES166, **ORACLES167, **ORACLES168, **ORACLES169, **ORACLES170, **ORACLES171, **ORACLES172, **ORACLES173, **ORACLES174, **ORACLES175, **ORACLES176, **ORACLES177, **ORACLES178, **ORACLES179, **ORACLES180, **ORACLES181, **ORACLES182, **ORACLES183, **ORACLES184, **ORACLES185, **ORACLES186, **ORACLES187, **ORACLES188, **ORACLES189, **ORACLES190, **ORACLES191, **ORACLES192, **ORACLES193, **ORACLES194, **ORACLES195, **ORACLES196, **ORACLES197, **ORACLES198, **ORACLES199, **ORACLES200, **ORACLES201, **ORACLES202, **ORACLES203, **ORACLES204, **ORACLES205, **ORACLES206, **ORACLES207, **ORACLES208, **ORACLES209, **ORACLES210, **ORACLES211, **ORACLES212, **ORACLES213, **ORACLES214, **ORACLES215, **ORACLES216, **ORACLES217, **ORACLES218, **ORACLES219, **ORACLES220, **ORACLES221, **ORACLES222, **ORACLES223, **ORACLES224, **ORACLES225, **ORACLES226, **ORACLES227, **ORACLES228, **ORACLES229, **ORACLES230, **ORACLES231, **ORACLES232, **ORACLES233, **ORACLES234, **ORACLES235, **ORACLES236, **ORACLES237, **ORACLES238, **ORACLES239, **ORACLES240, **ORACLES241, **ORACLES242, **ORACLES243, **ORACLES244, **ORACLES245, **ORACLES246, **ORACLES247, **ORACLES248, **ORACLES249, **ORACLES250, **ORACLES251, **ORACLES252, **ORACLES253, **ORACLES254, **ORACLES255, **ORACLES256, **ORACLES257, **ORACLES258, **ORACLES259, **ORACLES260, **ORACLES261, **ORACLES262, **ORACLES263, **ORACLES264, **ORACLES265, **ORACLES266, **ORACLES267, **ORACLES268, **ORACLES269, **ORACLES270, **ORACLES271, **ORACLES272, **ORACLES273, **ORACLES274, **ORACLES275, **ORACLES276, **ORACLES277, **ORACLES278, **ORACLES279, **ORACLES280, **ORACLES281, **ORACLES282, **ORACLES283, **ORACLES284, **ORACLES285, **ORACLES286, **ORACLES287, **ORACLES288, **ORACLES289, **ORACLES290, **ORACLES291, **ORACLES292, **ORACLES293, **ORACLES294, **ORACLES295, **ORACLES296, **ORACLES297, **ORACLES298, **ORACLES299, **ORACLES300, **ORACLES301, **ORACLES302, **ORACLES303, **ORACLES304, **ORACLES305, **ORACLES306, **ORACLES307, **ORACLES308, **ORACLES309, **ORACLES310, **ORACLES311, **ORACLES312, **ORACLES313, **ORACLES314, **ORACLES315, **ORACLES316, **ORACLES317, **ORACLES318, **ORACLES319, **ORACLES320, **ORACLES321, **ORACLES322, **ORACLES323, **ORACLES324, **ORACLES325, **ORACLES326, **ORACLES327, **ORACLES328, **ORACLES329, **ORACLES330, **ORACLES331, **ORACLES332, **ORACLES333, **ORACLES334, **ORACLES335, **ORACLES336, **ORACLES337, **ORACLES338, **ORACLES339, **ORACLES340, **ORACLES341, **ORACLES342, **ORACLES343, **ORACLES344, **ORACLES345, **ORACLES346, **ORACLES347, **ORACLES348, **ORACLES349, **ORACLES350, **ORACLES351, **ORACLES352, **ORACLES353, **ORACLES354, **ORACLES355, **ORACLES356, **ORACLES357, **ORACLES358, **ORACLES359, **ORACLES360, **ORACLES361, **ORACLES362, **ORACLES363, **ORACLES364, **ORACLES365, **ORACLES366, **ORACLES367, **ORACLES368, **ORACLES369, **ORACLES370, **ORACLES371, **ORACLES372, **ORACLES373, **ORACLES374, **ORACLES375, **ORACLES376, **ORACLES377, **ORACLES378, **ORACLES379, **ORACLES380, **ORACLES381, **ORACLES382, **ORACLES383, **ORACLES384, **ORACLES385, **ORACLES386, **ORACLES387, **ORACLES388, **ORACLES389, **ORACLES390, **ORACLES391, **ORACLES392, **ORACLES393, **ORACLES394, **ORACLES395, **ORACLES396, **ORACLES397, **dynamic_oracles(), **dynamic_oracles4()}
+    return _merge("ORACLES")

@@ -36,11 +36,11 @@ def _fold(vals) -> float:
 
 
 # ---------------------------------------------------------------------------
-# emb_jl_distortion — random projection distance distortion
+# emb_jl_pair_distortion — random projection distance distortion
 # ---------------------------------------------------------------------------
 
 
-def q_emb_jl_distortion(sf_dir: str):
+def q_emb_jl_pair_distortion(sf_dir: str):
     """JL audit: the 100 lowest vec_ids project from d dims to k = 8
     via a deterministic +-1 matrix (sign of FNV('i#j') parity); for
     every pair the squared-distance ratio d2_proj / (k * d2_orig)
@@ -112,7 +112,7 @@ _JL_SIGN_SQL = (
     "(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 2) - 1)"
 )
 
-ORACLES374["emb_jl_distortion"] = f"""
+ORACLES374["emb_jl_pair_distortion"] = f"""
 WITH sample AS (
   SELECT vec_id, embedding,
          row_number() OVER (ORDER BY vec_id) AS rn
@@ -340,6 +340,6 @@ WHERE r >= 2 AND k >= 2 AND n > 0"""
 
 
 QUERIES374 = {
-    "emb_jl_distortion": q_emb_jl_distortion,
+    "emb_jl_pair_distortion": q_emb_jl_pair_distortion,
     "orders_segment_priority_assoc": q_orders_segment_priority_assoc,
 }

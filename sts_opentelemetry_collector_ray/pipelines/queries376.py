@@ -18,11 +18,11 @@ _FUNNEL = ("signup", "click", "purchase")
 
 
 # ---------------------------------------------------------------------------
-# events_funnel — ordered first-occurrence funnel
+# events_funnel_ordered — ordered first-occurrence funnel
 # ---------------------------------------------------------------------------
 
 
-def q_events_funnel(sf_dir: str):
+def q_events_funnel_ordered(sf_dir: str):
     """Funnel: per user the FIRST ts of each step; a user converts
     through step k iff first(step_1) < first(step_2) < ... <
     first(step_k) (strict event-time order, ties break the chain).
@@ -128,7 +128,7 @@ def q_events_funnel(sf_dir: str):
     )
 
 
-ORACLES376["events_funnel"] = """
+ORACLES376["events_funnel_ordered"] = """
 WITH first AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
@@ -271,6 +271,6 @@ ORDER BY ym"""
 
 
 QUERIES376 = {
-    "events_funnel": q_events_funnel,
+    "events_funnel_ordered": q_events_funnel_ordered,
     "users_dau_mau_stickiness": q_users_dau_mau_stickiness,
 }

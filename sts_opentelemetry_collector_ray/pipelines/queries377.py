@@ -20,11 +20,11 @@ _BD_TOP = 50
 
 
 # ---------------------------------------------------------------------------
-# docs_burrows_delta — stylometric distance between sources
+# docs_burrows_delta_src — stylometric distance between sources
 # ---------------------------------------------------------------------------
 
 
-def q_docs_burrows_delta(sf_dir: str):
+def q_docs_burrows_delta_src(sf_dir: str):
     """Burrows' Delta: over the top-50 corpus words (count desc, word
     asc), each source's relative frequency is z-scored against the
     across-source population mean/std of that word (folds in source
@@ -126,7 +126,7 @@ def q_docs_burrows_delta(sf_dir: str):
     )
 
 
-ORACLES377["docs_burrows_delta"] = rf"""
+ORACLES377["docs_burrows_delta_src"] = rf"""
 WITH tok AS (
   SELECT source AS src,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -256,6 +256,6 @@ ORDER BY side, degree"""
 
 
 QUERIES377 = {
-    "docs_burrows_delta": q_docs_burrows_delta,
+    "docs_burrows_delta_src": q_docs_burrows_delta_src,
     "supplier_part_degree_census": q_supplier_part_degree_census,
 }

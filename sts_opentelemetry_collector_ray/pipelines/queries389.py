@@ -125,11 +125,11 @@ ORDER BY nationkey"""
 
 
 # ---------------------------------------------------------------------------
-# events_seasonality_strength — eta-squared of weekday and hour
+# events_seasonality_eta — eta-squared of weekday and hour
 # ---------------------------------------------------------------------------
 
 
-def q_events_seasonality_strength(sf_dir: str):
+def q_events_seasonality_eta(sf_dir: str):
     """How much of hourly-count variance do the calendar factors
     explain? On the zero-filled hourly series, eta^2 =
     SS_between / SS_total for (a) the epoch-weekday factor and (b)
@@ -193,7 +193,7 @@ def q_events_seasonality_strength(sf_dir: str):
     ).astype({c: np.int64 for c in cols})
 
 
-ORACLES389["events_seasonality_strength"] = f"""
+ORACLES389["events_seasonality_eta"] = f"""
 WITH h AS (
   SELECT epoch_us(ts) // {_HOUR_US} AS hr, CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY 1
@@ -251,5 +251,5 @@ WHERE tot.n >= 336 AND tot.sst > 0"""
 
 QUERIES389 = {
     "customer_nation_segment_diversity": q_customer_nation_segment_diversity,
-    "events_seasonality_strength": q_events_seasonality_strength,
+    "events_seasonality_eta": q_events_seasonality_eta,
 }

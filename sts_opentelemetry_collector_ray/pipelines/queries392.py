@@ -208,11 +208,11 @@ WHERE nu >= 3"""
 
 
 # ---------------------------------------------------------------------------
-# orders_linecount_profile — line count census with mean value
+# orders_linecount_census — line count census with mean value
 # ---------------------------------------------------------------------------
 
 
-def q_orders_linecount_profile(sf_dir: str):
+def q_orders_linecount_census(sf_dir: str):
     """Order shape: per line count (lineitems per order) the number of
     orders and the mean order total. Line counts come from ONE
     orderkey-bucket exchange merging both tables. Per row: n_lines,
@@ -300,7 +300,7 @@ def q_orders_linecount_profile(sf_dir: str):
     )
 
 
-ORACLES392["orders_linecount_profile"] = """
+ORACLES392["orders_linecount_census"] = """
 WITH lc AS (
   SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS nl
   FROM lineitem GROUP BY 1
@@ -324,5 +324,5 @@ ORDER BY n_lines"""
 
 QUERIES392 = {
     "users_hour_profile_kmeans": q_users_hour_profile_kmeans,
-    "orders_linecount_profile": q_orders_linecount_profile,
+    "orders_linecount_census": q_orders_linecount_census,
 }

@@ -262,7 +262,7 @@ def test_disc_qty_mi_nonneg():
 
 
 def test_jl_distortion_ordering():
-    got = _run("emb_jl_distortion")
+    got = _run("emb_jl_pair_distortion")
     if len(got):
         r = got.iloc[0]
         assert int(r["mean_abs_dev_micro"]) <= int(r["max_abs_dev_micro"])
@@ -303,7 +303,7 @@ def test_rollup_closure():
 
 
 def test_funnel_monotone():
-    got = _run("events_funnel")
+    got = _run("events_funnel_ordered")
     if len(got):
         g = got.sort_values("step_idx")
         n = g["n_users"].to_numpy()
@@ -319,7 +319,7 @@ def test_stickiness_bounds():
 
 
 def test_burrows_pair_count():
-    got = _run("docs_burrows_delta")
+    got = _run("docs_burrows_delta_src")
     if len(got):
         assert (got["delta_milli"] >= 0).all()
         assert (got["n_words_used"] <= 50).all()
