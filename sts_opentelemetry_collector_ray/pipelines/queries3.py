@@ -888,6 +888,12 @@ def q_docs_contamination(sf_dir: str):
 
 _FNV32_DOC20 = _FNV32_DOC.replace("% 100", "% 20")
 
+_FNV64_GRAM = (
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+    "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), "
+    "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616)"
+)
+
 ORACLES3["docs_repetition"] = """
 WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 tok AS (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS w FROM s),
@@ -910,9 +916,11 @@ g AS (SELECT doc_id, h,
              unnest(list_transform(range(1, len(t) - 3), i ->
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
       FROM f WHERE len(t) >= 5),
-p AS (SELECT DISTINCT gram FROM g WHERE h = 0)
-SELECT a.doc_id, count(DISTINCT a.gram) AS n_shared
-FROM g a JOIN p USING (gram)
+d AS (SELECT DISTINCT doc_id, h, gram FROM g),
+ph AS (SELECT doc_id, h, {_FNV64_GRAM} AS hv FROM d),
+p AS (SELECT DISTINCT hv FROM ph WHERE h = 0)
+SELECT a.doc_id, count(DISTINCT a.hv) AS n_shared
+FROM ph a JOIN p USING (hv)
 WHERE a.h <> 0 GROUP BY a.doc_id"""
 
 def q_docs_pack(sf_dir: str):
@@ -1408,12 +1416,6 @@ def q_docs_bloom_contamination(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return bloom_contamination(ds)
 
-
-_FNV64_GRAM = (
-    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
-    "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), "
-    "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616)"
-)
 
 ORACLES3["docs_bloom_contamination"] = f"""
 WITH f AS (SELECT doc_id, {_FNV32_DOC20} AS hsel, string_split(text, ' ') AS t FROM documents),

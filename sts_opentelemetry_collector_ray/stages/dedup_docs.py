@@ -520,56 +520,110 @@ def _word_grams(
     return joined, gcounts, probe
 
 
+_PROBE_DEDUP_BUCKETS = 64  # bounded → safe for groupby().map_groups (CLAUDE.md rule)
+
+
 def contamination_check(
     ds: "ray.data.Dataset",
     probe_mod: int = 20,
     gram_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    probe_ds: "ray.data.Dataset | None" = None,
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """Benchmark-contamination scan: flag training docs sharing any word
     ``gram_n``-gram with a held-out probe set.
 
-    The probe (test/benchmark) set is ``fnv1a32(doc_id) % probe_mod == 0`` —
-    deterministic and tiny by construction, which is the real-world shape: the
-    contamination reference (an eval benchmark) is always orders of magnitude
-    smaller than the training corpus. That asymmetry drives the design: the
-    probe n-gram set is aggregated once and broadcast via ``ray.put`` (the
-    small-side pattern — ST4); the 100 TB training side then streams through a
-    single ``map_batches`` doing one hash-set membership kernel per batch. No
-    shuffle touches the big side. Exact string grams (no hashing) so the DuckDB
-    oracle replays it verbatim.
+    ``probe_ds`` is the held-out benchmark corpus (same schema). When omitted,
+    the probe split is carved from ``ds`` itself as ``fnv1a32(doc_id) %
+    probe_mod == 0`` — deterministic, for self-contained tests/oracles.
+
+    Scale design (the probe side is orders of magnitude smaller than the
+    100 TB training side, but NOT driver-sized in raw-string form):
+      1. per-batch: unique gram strings → FNV-1a64 → unique u64 hashes,
+         bucketed by ``h % 64``;
+      2. distributed dedup: bounded-bucket ``groupby().map_groups`` unique —
+         duplicate grams across batches never reach the driver;
+      3. the globally-deduped u64 set (8 B/gram, not Σ|gram| strings) is
+         checked against ``broadcast_budget_bytes`` and broadcast once via
+         ``ray.put`` (the small-side pattern — ST4);
+      4. the training side streams through ONE ``map_batches`` doing a
+         sorted-array ``searchsorted`` membership kernel per batch. No shuffle
+         ever touches the big side.
+    Hash membership is exact vs the DuckDB oracle because the oracle replays
+    FNV-1a64 over gram bytes in HUGEINT (collisions, if any, agree).
 
     Output: one row per contaminated non-probe doc — (doc_id, n_shared) where
-    n_shared counts its DISTINCT grams present in the probe set.
+    n_shared counts its DISTINCT gram hashes present in the probe set.
     """
     import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64_arrow
 
     def _grams(t: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         return _word_grams(t, gram_n, id_col, text_col, probe_mod)
 
-    def probe_grams(t: pa.Table) -> pa.Table:
-        joined, gcounts, probe = _grams(t)
-        keep = np.repeat(probe, gcounts)
-        u = pc.unique(joined.filter(pa.array(keep)))
-        return pa.table({"gram": u})
+    if probe_ds is None:
 
-    # the probe side is small by construction — a bounded driver materialize,
-    # then one broadcast object read by every training-side task
-    probe_tbl = (
-        ds.map_batches(probe_grams, batch_format="pyarrow")
-        .to_pandas()  # |probe grams| rows, not corpus rows
+        def probe_hashes(t: pa.Table) -> pa.Table:
+            joined, gcounts, probe = _grams(t)
+            keep = np.repeat(probe, gcounts)
+            u = pc.unique(joined.filter(pa.array(keep)))
+            h = np.unique(fnv1a64_arrow(u)) if len(u) else np.empty(0, np.uint64)
+            return pa.table(
+                {
+                    "b": pa.array((h % _PROBE_DEDUP_BUCKETS).astype(np.int64)),
+                    "h": pa.array(h, pa.uint64()),
+                }
+            )
+
+        probe_src = ds
+    else:
+
+        def probe_hashes(t: pa.Table) -> pa.Table:
+            joined, _, _ = _word_grams(t, gram_n, id_col, text_col, 1)
+            u = pc.unique(joined)
+            h = np.unique(fnv1a64_arrow(u)) if len(u) else np.empty(0, np.uint64)
+            return pa.table(
+                {
+                    "b": pa.array((h % _PROBE_DEDUP_BUCKETS).astype(np.int64)),
+                    "h": pa.array(h, pa.uint64()),
+                }
+            )
+
+        probe_src = probe_ds
+
+    def bucket_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": np.unique(g["h"].to_numpy())})
+
+    deduped = (
+        probe_src.map_batches(probe_hashes, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(bucket_unique, batch_format="pandas")
     )
-    probe_set = ray.put(pa.array(pd.unique(probe_tbl["gram"]), pa.string()))
+    probe_arr = np.sort(deduped.to_pandas()["h"].to_numpy(dtype=np.uint64))
+    if probe_arr.nbytes > broadcast_budget_bytes:
+        raise ValueError(
+            f"probe gram-hash set is {probe_arr.nbytes} B, over the broadcast "
+            f"budget of {broadcast_budget_bytes} B — shrink the probe set or "
+            "switch to bloom_contamination"
+        )
+    probe_set = ray.put(probe_arr)
 
     def scan(t: pa.Table) -> pa.Table:
         grams_ref = ray.get(probe_set)
         joined, gcounts, probe = _grams(t)
+        if probe_ds is not None:
+            probe = np.zeros(len(gcounts), dtype=bool)
         row_idx = np.repeat(np.arange(len(gcounts), dtype=np.int64), gcounts)
-        hit = pc.is_in(joined, value_set=grams_ref).to_numpy(zero_copy_only=False)
-        # distinct shared grams per row: unique (row, gram) pairs among hits
+        h = fnv1a64_arrow(joined) if len(joined) else np.empty(0, np.uint64)
+        pos = np.searchsorted(grams_ref, h)
+        pos_c = np.minimum(pos, max(len(grams_ref) - 1, 0))
+        hit = (len(grams_ref) > 0) & (grams_ref[pos_c] == h)
+        # distinct shared gram hashes per row: unique (row, hash) pairs
         sub = pa.table(
-            {"r": pa.array(row_idx[hit]), "g": joined.filter(pa.array(hit))}
+            {"r": pa.array(row_idx[hit]), "g": pa.array(h[hit], pa.uint64())}
         )
         d = sub.group_by(["r", "g"]).aggregate([]).group_by(["r"]).aggregate([("g", "count")])
         n_shared = np.zeros(len(gcounts), dtype=np.int64)

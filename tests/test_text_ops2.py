@@ -72,6 +72,78 @@ def test_contamination_broadcast_scan(ray_session):
     assert not set(out["doc_id"]) & set(probe_ids)
 
 
+def test_contamination_explicit_probe_ds(ray_session):
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import contamination_check
+
+    leak_a = "alpha beta gamma delta epsilon"
+    leak_b = "one two three four five"
+    probe = ray.data.from_arrow(
+        pa.table({"doc_id": ["p1", "p2"], "text": [f"{leak_a} zeta", f"intro {leak_b}"]})
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["t1", "t2", "t3"],
+                "text": [
+                    f"noise {leak_a} more noise",  # shares one probe 5-gram
+                    f"{leak_a} then {leak_b}",  # shares grams from both probes
+                    "totally clean text with no overlap at all here",
+                ],
+            }
+        )
+    )
+    out = (
+        contamination_check(train, probe_ds=probe)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # explicit probe side: every training row is scanned (no % carve-out)
+    assert out["doc_id"].tolist() == ["t1", "t2"]
+    assert out["n_shared"].tolist() == [1, 2]
+
+
+def test_contamination_broadcast_budget_enforced(ray_session):
+    import pytest
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import contamination_check
+
+    probe = ray.data.from_arrow(
+        pa.table({"doc_id": ["p"], "text": ["a b c d e f g h i j k l m n o p q r"]})
+    )
+    train = ray.data.from_arrow(pa.table({"doc_id": ["t"], "text": ["a b c d e x"]}))
+    # 14 probe 5-grams × 8 B > 32 B budget → hard error before any broadcast
+    with pytest.raises(ValueError, match="broadcast budget"):
+        contamination_check(train, probe_ds=probe, broadcast_budget_bytes=32)
+
+
+def test_contamination_probe_aggregate_is_deduped_distributed(ray_session):
+    """Duplicate grams across probe batches must be removed by the bounded-bucket
+    exchange BEFORE the driver materialize: the deduped hash set for a probe of
+    many repeated docs is exactly the distinct-gram count, so a budget sized to
+    the distinct set passes even though the raw (undeduped) gram stream × 8 B
+    would blow it."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import contamination_check
+
+    leak = "alpha beta gamma delta epsilon"
+    # 64 probe docs over ≥2 blocks, all carrying the SAME single 5-gram
+    probe = ray.data.from_arrow(
+        pa.table({"doc_id": [f"p{i}" for i in range(64)], "text": [leak] * 64})
+    ).repartition(4)
+    train = ray.data.from_arrow(pa.table({"doc_id": ["t"], "text": [f"x {leak} y"]}))
+    # budget of 8 B = exactly ONE u64 hash: only passes if dedup ran distributed
+    out = contamination_check(
+        train, probe_ds=probe, broadcast_budget_bytes=8
+    ).to_pandas()
+    assert out["doc_id"].tolist() == ["t"]
+    assert out["n_shared"].tolist() == [1]
+
+
 def test_tfidf_top_terms(ray_session):
     import ray.data
     import os
