@@ -27,6 +27,12 @@ def stack_list_column(col, dtype=np.float64) -> np.ndarray:
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        # pandas object column / list-of-lists: ONE C-level pa.array build,
+        # then the same flatten+reshape path (micro A/B at 4096×128 float64:
+        # per-row np.stack loop 3.8 ms → 1.4 ms here for ndarray elements
+        # (2.6×), 20 ms → 11 ms for Python-list elements (1.9×))
+        return stack_list_column(pa.array(list(col)), dtype)
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)

@@ -49,7 +49,9 @@ def q_emb_knn_reciprocity(sf_dir: str):
     if n <= _KR_K:
         return empty
     ids = t["vec_id"].to_numpy(np.int64)
-    v = np.stack([np.asarray(e) for e in t["embedding"]]).astype(np.float64)
+    from ..functions.vectors import stack_list_column
+
+    v = stack_list_column(t["embedding"], np.float64)
     d = v.shape[1]
     norms2 = np.zeros(n)
     dots = np.zeros((n, n))

@@ -454,6 +454,7 @@ def embedding_neardup_pairs(
     block-pair join as ngram_jaccard_pairs, with a numpy matmul per group. The
     scale path replaces the O(B²) exact join with LSH bucketing
     (similarity.lsh_topk); this operator is the exact baseline."""
+    from ..functions.vectors import stack_list_column
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         h = (df[id_col].to_numpy() % num_buckets).astype(np.int64)
@@ -473,7 +474,7 @@ def embedding_neardup_pairs(
         gi, gj = int(g["gi"].iloc[0]), int(g["gj"].iloc[0])
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        mat = stack_list_column(g[vec_col], np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
