@@ -29,6 +29,7 @@ from .dedup_docs import (
 )
 from .similarity import brute_force_topk, lsh_topk
 from .multimodal import MediaDecodeActor, decode_stage, synthesize_media_batch
+from .kafka_records import build_kafka_records, kafka_record_drops
 
 __all__ = [
     "PROCESSING_TS", "parse_batch", "parse_stage",
@@ -47,4 +48,5 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_pairs",
     "brute_force_topk", "lsh_topk",
     "MediaDecodeActor", "decode_stage", "synthesize_media_batch",
+    "build_kafka_records", "kafka_record_drops",
 ]

@@ -61,23 +61,38 @@ class MediaDecodeActor:
     """Actor-pool decode/feature-extract stage.
 
     ``__init__`` is where a real pipeline loads the decoder/model ONCE per actor
-    (PIL/ffmpeg/torchvision — absent in this container). ``strict=True`` raises
-    NotImplementedError from the decode kernel, exactly where the real library call
-    belongs; the default deterministic fake keeps the plumbing testable: "features"
-    are 8 moments of the payload bytes, "frames" a fixed-stride byte sample.
+    (PIL/ffmpeg/torchvision — absent in this container). The decode kernel is an
+    INJECTION SEAM: pass ``decoder_factory`` — a zero-arg callable returning a
+    ``(payload: bytes, media_type: str) -> np.ndarray`` decode function — and it
+    is invoked once per actor in ``__init__`` (the load-once pattern); the
+    returned callable runs per payload. Without a factory, ``strict=True``
+    raises NotImplementedError exactly where the real library call belongs; the
+    default deterministic fake keeps the plumbing testable: "features" are 8
+    moments of the payload bytes, "frames" a fixed-stride byte sample.
     """
 
-    def __init__(self, feature_dim: int = 8, frame_stride: int = 512, strict: bool = False):
+    def __init__(
+        self,
+        feature_dim: int = 8,
+        frame_stride: int = 512,
+        strict: bool = False,
+        decoder_factory=None,
+    ):
         self.feature_dim = feature_dim
         self.frame_stride = frame_stride
         self.strict = strict
-        # real pipeline: self.model = load_model(...); self.decoder = ...
+        # the real-decoder seam: factory runs ONCE per actor (model/codec load);
+        # e.g. decoder_factory=lambda: PILDecoder(weights_path).decode
+        self._decoder = decoder_factory() if decoder_factory is not None else None
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self._decoder is not None:
+            return np.asarray(self._decoder(payload, media_type), dtype=np.float64)
         if self.strict:
             raise NotImplementedError(
                 "real image/audio/video decoding requires PIL/ffmpeg — not available "
-                "in this environment; deterministic fake used when strict=False"
+                "in this environment; inject decoder_factory= or use the "
+                "deterministic fake (strict=False)"
             )
         arr = np.frombuffer(payload, dtype=np.uint8)
         n = len(arr)
@@ -548,10 +563,11 @@ def decode_stage(
     concurrency: int = 4,
     batch_size: int = 256,  # binary payloads dominate memory → small batches
     strict: bool = False,
+    decoder_factory=None,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
         MediaDecodeActor,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "decoder_factory": decoder_factory},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

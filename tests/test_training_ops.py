@@ -295,6 +295,38 @@ def test_multimodal_plumbing(docs):
     assert "payload" not in out.columns  # heavy bytes dropped post-decode
 
 
+def _stub_real_decoder_factory():
+    """Stands in for `lambda: PILDecoder(weights).decode` — the factory body is
+    the once-per-actor model/codec load."""
+
+    def decode(payload: bytes, media_type: str):
+        return np.array([float(len(payload)), float(payload[0]) if payload else 0.0])
+
+    return decode
+
+
+def test_media_decoder_injection_seam(docs):
+    """A 'real' decoder swaps in via decoder_factory WITHOUT editing the actor:
+    strict=True no longer raises once a decoder is injected, and the injected
+    kernel's output flows through the same features column / actor-pool stage."""
+    t = pa.table({"doc_id": docs["doc_id"], "text": docs["text"]})
+    media = synthesize_media_batch(t)
+    dec = MediaDecodeActor(strict=True, decoder_factory=_stub_real_decoder_factory)(media)
+    feats = dec["features"].to_pylist()
+    pay = media["payload"].to_pylist()
+    assert feats[0] == [float(len(pay[0])), float(pay[0][0])]
+    assert dec.schema.field("features").type == pa.list_(pa.float64())
+    # and through the actor-pool stage (factory pickled to the actor, run in __init__)
+    ds = ray.data.from_arrow(media)
+    out = decode_stage(
+        ds, concurrency=2, strict=True, decoder_factory=_stub_real_decoder_factory
+    ).to_pandas()
+    assert len(out) == len(docs)
+    got = {m: f for m, f in zip(out["media_id"], out["features"])}
+    want = {m: [float(len(p)), float(p[0])] for m, p in zip(media["media_id"].to_pylist(), pay)}
+    assert {k: list(v) for k, v in got.items()} == want
+
+
 def test_ivf_topk_recall():
     from sts_opentelemetry_collector_ray.stages.similarity import ivf_topk
 
