@@ -1,6 +1,6 @@
 """Driver-contract queries, wave 232 — rescaled-range (R/S) Hurst exponent
 over block sizes {8,16,32} and recurrence quantification (recurrence rate +
-determinism) of the daily count series.
+determinism) of the hourly count series.
 Same contract as queries.py: column names AND dtypes match the DuckDB
 oracle exactly."""
 
@@ -54,7 +54,7 @@ def q_events_hurst_rs(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
-    daily = (
+    hourly = (
         part.groupby(["event_type", "hr"], as_index=False)["n"]
         .sum()
         .sort_values(["event_type", "hr"], kind="mergesort")
@@ -66,10 +66,10 @@ def q_events_hurst_rs(sf_dir: str):
         {c: pd.Series([], dtype=(object if c == "event_type" else np.int64))
          for c in cols}
     )
-    if daily.empty:
+    if hourly.empty:
         return empty
     rows = []
-    for et, sub in daily.groupby("event_type", sort=True):
+    for et, sub in hourly.groupby("event_type", sort=True):
         y = sub["n"].to_numpy(np.float64)
         n = len(y)
         pts = []
@@ -112,18 +112,18 @@ def q_events_hurst_rs(sf_dir: str):
 _SIZES_SQL = ", ".join(str(m) for m in _RS_SIZES)
 
 ORACLES232["events_hurst_rs"] = f"""
-WITH daily AS (
+WITH hourly AS (
   SELECT event_type,
          CAST((year(ts) * 10000 + month(ts) * 100 + day(ts)) * 100
-              + hour(ts) AS BIGINT) AS day,
+              + hour(ts) AS BIGINT) AS hr,
          CAST(count(*) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2
 ),
 idx AS (
   SELECT event_type, y,
-         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) - 1 AS t,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM daily
+  FROM hourly
 ),
 sizes AS (SELECT unnest([{_SIZES_SQL}]) AS m),
 blk AS (

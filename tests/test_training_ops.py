@@ -295,20 +295,26 @@ def test_multimodal_plumbing(docs):
     assert "payload" not in out.columns  # heavy bytes dropped post-decode
 
 
-def _stub_real_decoder_factory():
-    """Stands in for `lambda: PILDecoder(weights).decode` — the factory body is
-    the once-per-actor model/codec load."""
-
-    def decode(payload: bytes, media_type: str):
-        return np.array([float(len(payload)), float(payload[0]) if payload else 0.0])
-
-    return decode
-
-
 def test_media_decoder_injection_seam(docs):
     """A 'real' decoder swaps in via decoder_factory WITHOUT editing the actor:
     strict=True no longer raises once a decoder is injected, and the injected
-    kernel's output flows through the same features column / actor-pool stage."""
+    kernel's output flows through the same features column / actor-pool stage.
+
+    The factory is a NESTED function on purpose: cloudpickle ships it by VALUE
+    to the actor. A module-level function in a test file pickles by reference
+    and the Ray worker cannot import `test_training_ops` → silent actor
+    crash-restart loop."""
+
+    def _stub_real_decoder_factory():
+        # stands in for `lambda: PILDecoder(weights).decode` — the factory body
+        # is the once-per-actor model/codec load
+        def decode(payload: bytes, media_type: str):
+            return np.array(
+                [float(len(payload)), float(payload[0]) if payload else 0.0]
+            )
+
+        return decode
+
     t = pa.table({"doc_id": docs["doc_id"], "text": docs["text"]})
     media = synthesize_media_batch(t)
     dec = MediaDecodeActor(strict=True, decoder_factory=_stub_real_decoder_factory)(media)
