@@ -16,6 +16,9 @@ Policies implemented (the processor's most-used set):
 - ``numeric_attribute`` — any span whose numeric attribute falls in [min, max]
 - ``probabilistic`` — FNV-1a32(trace_id) % 100 < pct (deterministic, no RNG —
   the repo's established O4 sampling translation)
+- ``span_count``   — min_spans ≤ trace span count ≤ max_spans (batch-EXACT:
+  the processor counts a trace's buffered spans; in batch the full trace is
+  present, so the count is the true one)
 - ``always_sample``
 - ``and`` — all sub-policies must vote Sampled (composite policy)
 
@@ -25,8 +28,13 @@ per-trace, like the processor's per-policy decision metrics.
 Scale shape: spans move through ONE bounded bucket exchange
 (fnv(conv) % num_buckets — the finalize pattern of stages/dedup.py); per-trace
 stats and the policy OR are vectorized pandas groupby aggregations inside each
-bucket. Rate-limiting and span-count policies are deliberately out of scope:
-they depend on arrival order/wall-clock, which a batch replay cannot honor.
+bucket.
+
+The processor's remaining policy, ``rate_limiting`` (spans/second at ARRIVAL),
+is arrival-order dependent and cannot join the per-trace vote OR above; its
+batch-honorable translation is the standalone ``rate_limit_sample`` operator
+below, which admits traces by EVENT-TIME second deterministically. Only the
+wall-clock-arrival semantics itself remains out of scope.
 """
 
 from __future__ import annotations
@@ -76,6 +84,15 @@ class ProbabilisticPolicy(Policy):
 
 
 @dataclass(frozen=True)
+class SpanCountPolicy(Policy):
+    """tailsamplingprocessor's span_count policy: sample iff the trace's span
+    count lies in [min_spans, max_spans]. Batch-exact (full trace present)."""
+
+    min_spans: int = 1
+    max_spans: int | None = None
+
+
+@dataclass(frozen=True)
 class AlwaysSamplePolicy(Policy):
     pass
 
@@ -106,6 +123,12 @@ def _policy_votes(p: Policy, g: "pd.core.groupby.DataFrameGroupBy",
     if isinstance(p, ProbabilisticPolicy):
         h = fnv1a32_array(convs.to_numpy()) % np.uint64(100)
         return h < p.pct
+    if isinstance(p, SpanCountPolicy):
+        n = g.size().reindex(convs).to_numpy()
+        ok = n >= p.min_spans
+        if p.max_spans is not None:
+            ok &= n <= p.max_spans
+        return ok
     if isinstance(p, AlwaysSamplePolicy):
         return np.ones(len(convs), dtype=bool)
     if isinstance(p, AndPolicy):
@@ -165,4 +188,122 @@ def tail_sample(
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(decide, batch_format="pandas")
+    )
+
+
+def rate_limit_sample(
+    ds: "ray.data.Dataset",
+    spans_per_second: int,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Event-time rate limiting — the batch-honorable translation of the
+    processor's ``rate_limiting`` policy (spans_per_second).
+
+    Translation contract (documented, deliberate): the processor admits traces
+    in ARRIVAL order until the current wall-clock second's span budget is
+    spent; a batch replay has no arrival order, so admission is by EVENT TIME —
+    each trace is attributed to the second its FIRST span starts in (the
+    decision-instant analogue) and traces are admitted in (start_ts, conv_id)
+    order until that second's budget of ``spans_per_second`` spans is
+    exhausted. Whole-trace keep/drop, fully deterministic, SQL-replayable.
+
+    Scale shape — three bounded exchanges, two passes over the span stream:
+      1. conv-hash bucket exchange → per-trace (n_spans, start_us) stats
+         (bucket-global, so multi-block traces count exactly once);
+      2. second-hash bucket exchange → per-second vectorized cumsum admission
+         (1 row/trace moves, not spans);
+      3. the admitted trace ids (1 slim row per admitted trace — orders of
+         magnitude smaller than the span stream) are MATERIALIZED to break the
+         dataset branch (CLAUDE.md: never branch a lazy Dataset) and the span
+         stream re-executes once more through a conv-hash bucketed-pandas
+         semi-join (never ``Dataset.join`` — schema-less empty blocks sink it).
+    """
+    import pyarrow.compute as pc
+
+    B = np.uint64(num_buckets)
+
+    def conv_bucket(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t[conv_col], pa.string()).combine_chunks()
+        b = (fnv1a32_array(conv.to_numpy(zero_copy_only=False)) % B).astype(np.int32)
+        return t.append_column("_b", pa.array(b, pa.int32())).replace_schema_metadata(None)
+
+    def trace_stats(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        agg = (
+            g.assign(_ts=ts_us)
+            .groupby(conv_col, as_index=False)
+            .agg(n=("_ts", "size"), start_us=("_ts", "min"))
+        )
+        agg["sec"] = agg["start_us"] // 1_000_000
+        agg["_sb"] = (agg["sec"].to_numpy().astype(np.uint64) % B).astype(np.int32)
+        return agg[[conv_col, "n", "start_us", "sec", "_sb"]]
+
+    stats = (
+        ds.map_batches(conv_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(trace_stats, batch_format="pandas")
+    )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sec", "start_us", conv_col], kind="mergesort")
+        cum = g.groupby("sec")["n"].cumsum()
+        return g.loc[cum.to_numpy() <= spans_per_second, [conv_col]]
+
+    admitted = (
+        stats.groupby("_sb").map_groups(admit, batch_format="pandas").materialize()
+    )
+
+    def dec_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = (
+            fnv1a32_array(df[conv_col].to_numpy(dtype=object)) % B
+        ).astype(np.int32)
+        return pd.DataFrame({conv_col: df[conv_col], "_b": b})
+
+    dec = admitted.map_batches(dec_bucket, batch_format="pandas")
+
+    # semi-join: span rows + slim decision rows meet in the same conv bucket;
+    # the decision rows carry ONLY conv_id (marked by "_dec"), so the union
+    # schema is spans ∪ {_dec} with nulls where absent
+    def mark_spans(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_dec", pa.array(np.zeros(t.num_rows, dtype=bool))
+        ).replace_schema_metadata(None)
+
+    spans_b = ds.map_batches(conv_bucket, batch_format="pyarrow").map_batches(
+        mark_spans, batch_format="pyarrow"
+    )
+
+    span_schema = spans_b.schema().base_schema
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in span_schema:
+            if f.name == conv_col:
+                cols[f.name] = pc.cast(t[conv_col], f.type)
+            elif f.name == "_b":
+                cols[f.name] = pc.cast(t["_b"], f.type)
+            elif f.name == "_dec":
+                cols[f.name] = pa.array(np.ones(t.num_rows, dtype=bool))
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        return pa.table(cols).cast(span_schema).replace_schema_metadata(None)
+
+    dec_b = dec.map_batches(dec_rows, batch_format="pyarrow")
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-only (a pandas frame would NaN-float the typed span columns
+        # that the slim decision rows leave null)
+        is_dec = t["_dec"]
+        keep_vals = pc.unique(t.filter(is_dec)[conv_col].combine_chunks())
+        hit = pc.is_in(t[conv_col], value_set=keep_vals)
+        mask = pc.and_(pc.invert(is_dec), hit)
+        return t.filter(mask).drop_columns(["_dec"])
+
+    return (
+        spans_b.union(dec_b)
+        .groupby("_b")
+        .map_groups(filter_bucket, batch_format="pyarrow")
+        .drop_columns(["_b"])
     )

@@ -110,3 +110,67 @@ def test_always_sample_and_unique_names(ray_session):
     assert len(df) == 5
     with pytest.raises(ValueError, match="unique"):
         _run([AlwaysSamplePolicy("x"), AlwaysSamplePolicy("x")])
+
+
+def test_span_count_policy_band(ray_session):
+    from sts_opentelemetry_collector_ray.stages.tailsampling import SpanCountPolicy
+
+    # c1/c2 have 2 spans, c3 has 1 → min_spans=2 keeps c1+c2; max_spans=1 keeps c3
+    df = _run([SpanCountPolicy("big", min_spans=2)])
+    assert sorted(df["conv_id"].unique()) == ["c1", "c2"]
+    assert set(df["sampled_by"]) == {"big"}
+    df = _run([SpanCountPolicy("single", min_spans=1, max_spans=1)])
+    assert sorted(df["conv_id"].unique()) == ["c3"]
+
+
+def test_rate_limit_sample_event_time(ray_session):
+    """Admission per event-time second in (start_ts, conv_id) order: a second
+    whose traces outgrow the budget keeps only the earliest-starting ones;
+    traces never split."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import rate_limit_sample
+
+    S = 1_000_000  # 1 s in us
+    t = pa.table(
+        {
+            # second 0: a(3 spans, starts t=0), b(2 spans, starts t=100us)
+            # second 1: c(2 spans) — under budget alone
+            "conv_id": pa.array(["a", "a", "a", "b", "b", "c", "c"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 0, 1, 0, 1], pa.int64()),
+            "ts": pa.array(
+                [0, 10, 2 * S, 100, 50, S, S + 10], pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = rate_limit_sample(ds, spans_per_second=3, num_buckets=4).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # budget 3 in second 0: a (3 spans) admitted first by start_ts, b over budget;
+    # c admitted in second 1. a's third span lives in second 2 but the whole
+    # trace is attributed to its START second — it rides along (trace-atomic).
+    assert out["conv_id"].tolist() == ["a", "a", "a", "c", "c"]
+    # dtypes survive the slim-decision union (no NaN-float mangling)
+    assert out["turn_idx"].dtype == np.int64
+    # budget 5 admits a AND b in second 0
+    out5 = rate_limit_sample(ds, spans_per_second=5, num_buckets=4).to_pandas()
+    assert sorted(out5["conv_id"].unique()) == ["a", "b", "c"]
+
+
+def test_rate_limit_tie_breaks_on_conv_id(ray_session):
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import rate_limit_sample
+
+    # equal start_ts → conv_id lexicographic order decides admission
+    t = pa.table(
+        {
+            "conv_id": pa.array(["x", "y"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int64()),
+            "ts": pa.array([7, 7], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = rate_limit_sample(
+        ray.data.from_arrow(t), spans_per_second=1, num_buckets=4
+    ).to_pandas()
+    assert out["conv_id"].tolist() == ["x"]
