@@ -51,3 +51,39 @@ def test_every_query_has_oracle():
     # list empty unless a query genuinely cannot be SQL-expressed
     assert missing == set(), f"queries without oracles: {sorted(missing)}"
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_duplicate_name_raises_importerror(tmp_path, monkeypatch):
+    """A duplicated query name across wave modules must be a HARD ImportError
+    at registration time — never a silent shadow (round-3 defect class)."""
+    import sys
+    import textwrap
+
+    import pytest
+
+    pkg_dir = tmp_path / "fakepkg" / "pipelines"
+    pkg_dir.mkdir(parents=True)
+    (tmp_path / "fakepkg" / "__init__.py").write_text("")
+    (pkg_dir / "__init__.py").write_text("")
+    (pkg_dir / "queries1.py").write_text(
+        textwrap.dedent("""
+        QUERIES1 = {"dup_query": lambda sf: None}
+        ORACLES1 = {"dup_query": "SELECT 1"}
+        """)
+    )
+    (pkg_dir / "queries2.py").write_text(
+        textwrap.dedent("""
+        QUERIES2 = {"dup_query": lambda sf: None}
+        ORACLES2 = {"dup_query": "SELECT 2"}
+        """)
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entrymod, "_PKG", "fakepkg.pipelines")
+    try:
+        with pytest.raises(ImportError, match="duplicate query name 'dup_query'"):
+            entrymod.queries()
+        with pytest.raises(ImportError, match="duplicate query name 'dup_query'"):
+            entrymod.oracle_sql()
+    finally:
+        for m in [k for k in sys.modules if k.startswith("fakepkg")]:
+            del sys.modules[m]
