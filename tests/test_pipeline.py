@@ -415,3 +415,33 @@ def test_run_twice_byte_identical_routed_sets(multi_file_transcripts, tmp_path):
     b = read_routed(b_dir).sort_values(key).reset_index(drop=True)
     a, b = a[sorted(a.columns)], b[sorted(b.columns)]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_changed_input_invalidates_only_that_partition(multi_file_transcripts, tmp_path):
+    """Lineage correctness: editing ONE input file re-runs ONLY the partition
+    whose input_fingerprint changed; the others resume from their manifests,
+    and the rerun output equals a from-scratch run over the edited corpus."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    shutil.copytree(multi_file_transcripts, corpus)
+    out = str(tmp_path / "out")
+    r1 = flagship_run(corpus, out, num_partitions=3, enrich_concurrency=2)
+    assert r1.partitions_total == 3 and r1.partitions_skipped == 0
+
+    # touch one file: rewrite it with one row dropped (content + size change)
+    victim = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[0]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(1), victim)
+
+    r2 = flagship_run(corpus, out, num_partitions=3, enrich_concurrency=2)
+    assert r2.partitions_skipped == 2  # only the edited file's partition re-ran
+
+    ref = str(tmp_path / "ref")
+    flagship_run(corpus, ref, num_partitions=3, enrich_concurrency=2)
+    key = ["sink", "data_source", "conv_id", "turn_idx", "action"]
+    a = read_routed(out).sort_values(key).reset_index(drop=True)
+    b = read_routed(ref).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
