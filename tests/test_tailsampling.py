@@ -174,3 +174,51 @@ def test_rate_limit_tie_breaks_on_conv_id(ray_session):
         ray.data.from_arrow(t), spans_per_second=1, num_buckets=4
     ).to_pandas()
     assert out["conv_id"].tolist() == ["x"]
+
+
+def test_rate_limit_invariants_random_corpus(ray_session):
+    """Deterministic pseudo-random corpus: (1) output is a subset of input,
+    (2) traces never split, (3) per-second admitted span budget holds for
+    spans attributed to that second's admitted traces, (4) admission equals
+    a straightforward single-process replay."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import rate_limit_sample
+
+    rng = np.random.default_rng(1234)
+    convs, tss, idxs = [], [], []
+    for c in range(40):
+        n = int(rng.integers(1, 9))
+        start = int(rng.integers(0, 6)) * 1_000_000 + int(rng.integers(0, 1_000_000))
+        for i in range(n):
+            convs.append(f"c{c:02d}")
+            tss.append(start + i * int(rng.integers(0, 800_000)))
+            idxs.append(i)
+    t = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(idxs, pa.int64()),
+            "ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    budget = 10
+    out = rate_limit_sample(
+        ray.data.from_arrow(t), spans_per_second=budget, num_buckets=8
+    ).to_pandas()
+
+    df = t.to_pandas()
+    per = df.groupby("conv_id").agg(n=("ts", "size"), start=("ts", "min")).reset_index()
+    per["start_us"] = per["start"].astype("datetime64[us]").astype("int64")
+    per["sec"] = per["start_us"] // 1_000_000
+    per = per.sort_values(["sec", "start_us", "conv_id"], kind="mergesort")
+    per["cum"] = per.groupby("sec")["n"].cumsum()
+    expected = set(per.loc[per["cum"] <= budget, "conv_id"])
+
+    got_traces = set(out["conv_id"])
+    assert got_traces == expected  # (4) replay equality
+    counts = out.groupby("conv_id").size()
+    full = df.groupby("conv_id").size()
+    for c in got_traces:
+        assert counts[c] == full[c]  # (2) trace-atomic
+    merged = out.merge(df, on=["conv_id", "turn_idx", "ts"], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()  # (1) subset of input
