@@ -222,3 +222,51 @@ def test_rate_limit_invariants_random_corpus(ray_session):
         assert counts[c] == full[c]  # (2) trace-atomic
     merged = out.merge(df, on=["conv_id", "turn_idx", "ts"], how="left", indicator=True)
     assert (merged["_merge"] == "both").all()  # (1) subset of input
+
+
+def test_rate_limit_null_timestamps_sql_semantics(ray_session):
+    """SQL-oracle parity under null ts: null-ts spans count toward a trace's
+    budget (count(*)), never define its start (min skips nulls), and traces
+    whose EVERY span is null-ts form one shared NULL-second partition admitted
+    NULLS-LAST in conv_id order — verified against an inline DuckDB replay."""
+    import duckdb
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import rate_limit_sample
+
+    S = 1_000_000
+    t = pa.table(
+        {
+            # a: 1 real + 1 null-ts span (n=2, starts sec 0)
+            # b: all-null ts (NULL partition)   c: all-null ts (NULL partition)
+            # d: sec 0, n=2
+            "conv_id": pa.array(["a", "a", "b", "c", "d", "d"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 0, 0, 1], pa.int64()),
+            "ts": pa.array([10, None, None, None, 20, 30], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    for thr in (5_000_000, 0):  # broadcast path and bucketed-union fallback
+        out = rate_limit_sample(
+            ray.data.from_arrow(t), spans_per_second=3, num_buckets=4,
+            broadcast_threshold_rows=thr,
+        ).to_pandas()
+        got = sorted(out["conv_id"].unique())
+        con = duckdb.connect()
+        con.register("spans", t.to_pandas())
+        exp = con.execute(
+            """
+            WITH tr AS (SELECT conv_id, count(*) AS n, min(epoch_us(ts)) AS start_us
+                        FROM spans GROUP BY 1),
+            sec AS (SELECT conv_id, n, start_us, start_us // 1000000 AS sec FROM tr),
+            adm AS (SELECT conv_id, sum(n) OVER (PARTITION BY sec
+                    ORDER BY start_us, conv_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sec)
+            SELECT conv_id FROM adm WHERE cum <= 3 ORDER BY conv_id"""
+        ).df()["conv_id"].tolist()
+        assert got == exp, (thr, got, exp)
+    # concretely: sec 0 admits a (n=2) then d would exceed? a starts at 10us,
+    # d at 20us: cum a=2, d=4 > 3 → d dropped; NULL partition: b then c, cum
+    # b=1, c=2 ≤ 3 → both admitted
+    assert got == ["a", "b", "c"]
