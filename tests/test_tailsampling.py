@@ -270,3 +270,102 @@ def test_rate_limit_null_timestamps_sql_semantics(ray_session):
     # d at 20us: cum a=2, d=4 > 3 → d dropped; NULL partition: b then c, cum
     # b=1, c=2 ≤ 3 → both admitted
     assert got == ["a", "b", "c"]
+
+
+def test_tail_sample_fallback_equals_broadcast(ray_session):
+    """The over-threshold union-semi-join path must produce the same sampled
+    spans AND the same sampled_by labels as the broadcast path."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import (
+        SpanCountPolicy,
+        tail_sample as ts,
+    )
+
+    policies = [
+        LatencyPolicy("slow", threshold_ms=5000),
+        StatusCodePolicy("err", codes=("ERROR",)),
+        SpanCountPolicy("single", min_spans=1, max_spans=1),
+    ]
+    key = ["conv_id", "turn_idx"]
+    a = (
+        ts(ray.data.from_arrow(_spans()), policies, num_buckets=4)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        ts(ray.data.from_arrow(_spans()), policies, num_buckets=4,
+           broadcast_threshold_rows=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[key + ["sampled_by"]], b[key + ["sampled_by"]])
+
+
+def test_tail_sample_aggregate_matches_spanlevel_reference(ray_session):
+    """Differential: the algebraic (partial-stats) evaluation equals the
+    span-level reference evaluation (_policy_votes) on a pseudo-random corpus
+    with every policy kind incl. a nested AND."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.tailsampling import (
+        AndPolicy,
+        LatencyPolicy,
+        NumericAttributePolicy,
+        ProbabilisticPolicy,
+        SpanCountPolicy,
+        StatusCodePolicy,
+        StringAttributePolicy,
+        _policy_votes,
+        tail_sample as ts,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 600
+    conv = [f"t{int(i):03d}" for i in rng.integers(0, 60, n)]
+    t = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(rng.integers(0, 90, n), pa.int64()),
+            "severity": pa.array(
+                np.array(["INFO", "WARN", "ERROR"])[rng.integers(0, 3, n)], pa.string()
+            ),
+            "tool": pa.array(
+                np.array(["", "bash", "search"])[rng.integers(0, 3, n)], pa.string()
+            ),
+            "ts": pa.array(rng.integers(0, 20_000_000, n), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    policies = [
+        LatencyPolicy("slow", threshold_ms=15_000),
+        StringAttributePolicy("bashy", col="tool", values=("bash",)),
+        NumericAttributePolicy("long", col="turn_idx", min_value=80),
+        AndPolicy(
+            "err_prob",
+            sub=(
+                StatusCodePolicy("e", codes=("ERROR",)),
+                ProbabilisticPolicy("p", pct=50),
+            ),
+        ),
+        SpanCountPolicy("big", min_spans=12),
+    ]
+    got = ts(ray.data.from_arrow(t), policies, num_buckets=4).to_pandas()
+    got_dec = dict(
+        got.drop_duplicates("conv_id")[["conv_id", "sampled_by"]].itertuples(
+            index=False, name=None
+        )
+    )
+    # span-level reference (single-process)
+    df = t.to_pandas()
+    df["_ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    g = df.groupby(df["conv_id"])
+    convs = g.size().index
+    sampled_by = np.full(len(convs), None, dtype=object)
+    undecided = np.ones(len(convs), dtype=bool)
+    for p in policies:
+        votes = _policy_votes(p, g, convs, df, "conv_id")
+        take = undecided & votes
+        sampled_by[take] = p.name
+        undecided &= ~votes
+    exp_dec = {c: s for c, s in zip(convs, sampled_by) if s is not None}
+    assert got_dec == exp_dec
