@@ -27,8 +27,6 @@ def _record_source(sf_dir: str) -> "ray.data.Dataset":
     Precedence (11 before 7) matches the oracle CASE order."""
 
     def derive(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         eid = t["event_id"]
         ev = eid.to_numpy(zero_copy_only=False)
         sid = pc.cast(eid, pa.string())

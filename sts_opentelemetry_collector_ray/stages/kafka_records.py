@@ -108,8 +108,6 @@ def kafka_record_drops(
         )
 
     # per-batch partial counts → tiny bounded groupby (topics × 2 reasons)
-    import ray.data  # noqa: F401  (ds is already a Dataset)
-
     partial = ds.map_batches(drops, batch_format="pyarrow")
     return partial.groupby(["topic", "reason"]).sum("n").rename_columns(
         ["topic", "reason", "n"]
