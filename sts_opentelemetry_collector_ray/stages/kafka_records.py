@@ -107,8 +107,16 @@ def kafka_record_drops(
             .rename_columns(["topic", "reason", "n"])
         )
 
-    # per-batch partial counts → tiny bounded groupby (topics × 2 reasons)
+    # per-batch partial counts → tiny bounded groupby (topics × 2 reasons).
+    # The rename runs per batch, not via Dataset.rename_columns: an all-empty
+    # input leaves groupby().sum() schema-less and rename_columns crashes on
+    # its None schema, while map_batches simply skips empty blocks.
     partial = ds.map_batches(drops, batch_format="pyarrow")
-    return partial.groupby(["topic", "reason"]).sum("n").rename_columns(
-        ["topic", "reason", "n"]
+    return (
+        partial.groupby(["topic", "reason"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["topic", "reason", "n"]),
+            batch_format="pyarrow",
+        )
     )

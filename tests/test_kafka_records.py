@@ -79,3 +79,18 @@ def test_tombstone_rows_land_in_hive_layout(ray_session, tmp_path):
     # piggybacked counts still work keyed on the tombstone flag
     cnt = sink.agg_counts.to_pandas().sort_values("tombstone").reset_index(drop=True)
     assert cnt["n"].tolist() == [2, 1]
+
+
+def test_empty_input_edge_cases(ray_session):
+    """Empty input must flow cleanly through both operators (groupby on an
+    empty dataset yields schema-less blocks; the per-batch rename tolerates
+    them where Dataset.rename_columns would crash on a None schema)."""
+    ek = pa.table(
+        {
+            "msg_key": pa.array([], pa.string()),
+            "msg_topic": pa.array([], pa.string()),
+            "payload": pa.array([], pa.string()),
+        }
+    )
+    assert build_kafka_records(ray.data.from_arrow(ek)).count() == 0
+    assert kafka_record_drops(ray.data.from_arrow(ek)).count() == 0
