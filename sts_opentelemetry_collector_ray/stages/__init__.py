@@ -30,6 +30,18 @@ from .dedup_docs import (
 from .similarity import brute_force_topk, lsh_topk
 from .multimodal import MediaDecodeActor, decode_stage, synthesize_media_batch
 from .kafka_records import build_kafka_records, kafka_record_drops
+from .tailsampling import (
+    AlwaysSamplePolicy,
+    AndPolicy,
+    LatencyPolicy,
+    NumericAttributePolicy,
+    ProbabilisticPolicy,
+    SpanCountPolicy,
+    StatusCodePolicy,
+    StringAttributePolicy,
+    rate_limit_sample,
+    tail_sample,
+)
 
 __all__ = [
     "PROCESSING_TS", "parse_batch", "parse_stage",
@@ -49,4 +61,8 @@ __all__ = [
     "brute_force_topk", "lsh_topk",
     "MediaDecodeActor", "decode_stage", "synthesize_media_batch",
     "build_kafka_records", "kafka_record_drops",
+    "tail_sample", "rate_limit_sample",
+    "AlwaysSamplePolicy", "AndPolicy", "LatencyPolicy", "NumericAttributePolicy",
+    "ProbabilisticPolicy", "SpanCountPolicy", "StatusCodePolicy",
+    "StringAttributePolicy",
 ]
