@@ -15,7 +15,9 @@ never calls ray.init().
 Checkpoint/resume: `flagship_run` skips every partition whose manifest matches
 the input + ruleset fingerprints, so re-submitting the SAME job after a node
 failure (or preemption) resumes idempotently; `--no-resume` clears the output
-directory first. Exit code 0 only if every partition completed.
+directory first — but refuses if the directory is non-empty and has no
+`_manifests/` marker (a mistyped --out must not wipe a data directory).
+Exit code 0 only if every partition completed.
 """
 
 from __future__ import annotations
@@ -50,6 +52,21 @@ def main() -> int:
                     default="invalidate")
     args = ap.parse_args()
 
+    if not args.resume and os.path.exists(args.out):
+        # Refuse to delete a directory that doesn't look like prior flagship
+        # output (no _manifests marker): a mistyped --out must not silently
+        # wipe a data directory. An empty dir is fine to clear.
+        looks_like_ours = os.path.isdir(os.path.join(args.out, "_manifests"))
+        if not looks_like_ours and os.listdir(args.out):
+            print(
+                f"--no-resume: refusing to delete {args.out!r}: it is non-empty "
+                "and has no _manifests/ marker, so it doesn't look like prior "
+                "flagship output. Remove it manually if you really mean it.",
+                file=sys.stderr,
+            )
+            return 2
+        shutil.rmtree(args.out, ignore_errors=True)
+
     import ray
 
     if not ray.is_initialized():
@@ -63,9 +80,6 @@ def main() -> int:
                      include_dashboard=False, logging_level="ERROR")
 
     from sts_opentelemetry_collector_ray.pipelines.flagship import flagship_run
-
-    if not args.resume:
-        shutil.rmtree(args.out, ignore_errors=True)
 
     try:
         res = flagship_run(

@@ -888,9 +888,21 @@ def q_docs_contamination(sf_dir: str):
 
 _FNV32_DOC20 = _FNV32_DOC.replace("% 100", "% 20")
 
+# FNV-1a64 over the gram's UTF-8 BYTES (byte-exact vs functions/hashing.py::
+# fnv1a64_arrow, which hashes raw Arrow string buffers): each codepoint is
+# expanded to its UTF-8 byte sequence arithmetically (1–4 bytes by range),
+# flattened, then folded. Verified equal to the Python byte fold for ASCII,
+# Latin-1, CJK and astral (emoji) inputs.
 _FNV64_GRAM = (
     "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
-    "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), "
+    "list_transform(flatten(list_transform(string_split(gram, ''), c -> "
+    "CASE WHEN unicode(c) < 128 THEN [unicode(c)] "
+    "WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64] "
+    "WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, "
+    "128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] "
+    "ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, "
+    "128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END)), "
+    "b -> CAST(b AS HUGEINT))), "
     "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616)"
 )
 

@@ -603,7 +603,14 @@ def contamination_check(
         .groupby("b")
         .map_groups(bucket_unique, batch_format="pandas")
     )
-    probe_arr = np.sort(deduped.to_pandas()["h"].to_numpy(dtype=np.uint64))
+    dedup_df = deduped.to_pandas()
+    # an all-empty probe side yields a schema-less empty frame (CLAUDE.md:
+    # Ray groupby on empty input drops the schema) — treat as an empty set
+    probe_arr = (
+        np.sort(dedup_df["h"].to_numpy(dtype=np.uint64))
+        if "h" in dedup_df.columns
+        else np.empty(0, np.uint64)
+    )
     if probe_arr.nbytes > broadcast_budget_bytes:
         raise ValueError(
             f"probe gram-hash set is {probe_arr.nbytes} B, over the broadcast "
@@ -619,9 +626,14 @@ def contamination_check(
             probe = np.zeros(len(gcounts), dtype=bool)
         row_idx = np.repeat(np.arange(len(gcounts), dtype=np.int64), gcounts)
         h = fnv1a64_arrow(joined) if len(joined) else np.empty(0, np.uint64)
-        pos = np.searchsorted(grams_ref, h)
-        pos_c = np.minimum(pos, max(len(grams_ref) - 1, 0))
-        hit = (len(grams_ref) > 0) & (grams_ref[pos_c] == h)
+        if len(grams_ref) == 0:
+            # empty probe hash set (empty probe_ds, or no doc with
+            # fnv%probe_mod==0): indexing an empty array would raise
+            hit = np.zeros(len(h), dtype=bool)
+        else:
+            pos = np.searchsorted(grams_ref, h)
+            pos_c = np.minimum(pos, len(grams_ref) - 1)
+            hit = grams_ref[pos_c] == h
         # distinct shared gram hashes per row: unique (row, hash) pairs
         sub = pa.table(
             {"r": pa.array(row_idx[hit]), "g": pa.array(h[hit], pa.uint64())}

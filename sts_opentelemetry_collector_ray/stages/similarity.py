@@ -4,8 +4,9 @@ Two paths, both deterministic:
 
 - `brute_force_topk` — the exact baseline: the query matrix is broadcast once
   (`ray.put`, read per task), each batch computes a numpy matmul against it and emits
-  its local top-k per query; a final tiny merge keeps the global top-k. Shuffle-free:
-  only (n_queries × k) rows per batch leave the workers.
+  its local top-k per query; a distributed per-query merge (`_merge_topk`,
+  bounded `groupby(query_id)`) keeps the global top-k. Only (n_queries × k)
+  rows per batch leave the workers, and only the final q·k reach the driver.
 - `lsh_topk` — the scale path: random-hyperplane LSH (seeded) buckets both corpus
   and queries; candidates are searched only within each query's bucket (plus
   optional multi-probe by flipping one hyperplane bit). Recall < 1 by design;
@@ -27,6 +28,51 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return mat / norms[:, None]
+
+
+def _merge_topk(
+    partials: "ray.data.Dataset",
+    k: int,
+    exclude_self: bool,
+    dedup_neighbors: bool,
+) -> pd.DataFrame:
+    """Distributed merge of per-block top-k partials → final (query_id,
+    neighbor_id, rank) with rank 1..k, ties broken by neighbor id ascending.
+
+    The reduce is a `groupby("query_id").map_groups` — BOUNDED (q groups, the
+    CLAUDE.md map_groups rule): each group holds ≤ (k+1)·|blocks| candidate
+    rows for ONE query and runs the same vectorized mergesort/head(k) that a
+    driver-side merge would. The driver only ever receives the final q·k rows,
+    so the merge is independent of block count (at 100 TB, ~10⁶ blocks ×
+    q·(k+1) partial rows stay on the workers; the old `.to_pandas()` merge
+    pulled them all to the driver)."""
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        if dedup_neighbors:
+            g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = (
+        partials.groupby("query_id")
+        .map_groups(per_query, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                "neighbor_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+            }
+        )
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
 
 
 def brute_force_topk(
@@ -59,21 +105,8 @@ def brute_force_topk(
             }
         )
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(
-            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        out.append(g[["query_id", "neighbor_id", "rank"]])
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
-    )
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k, exclude_self, dedup_neighbors=False)
 
 
 def _kmeans(data: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -123,7 +156,8 @@ def ivf_topk(
     2. broadcast the centroid matrix; each batch assigns its vectors to their
        nearest centroid (one matmul) and searches only vectors whose centroid is
        among each query's ``nprobe`` closest lists;
-    3. merge per-batch partial top-k on the driver (n_queries × k rows).
+    3. distributed per-query merge of the partial top-k (`_merge_topk`) —
+       the driver only receives the final n_queries × k rows.
 
     Recall < 1 by construction; `brute_force_topk` is the exact oracle."""
     if centroids is None:
@@ -165,21 +199,8 @@ def ivf_topk(
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.drop_duplicates("neighbor_id").sort_values(
-            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        out.append(g[["query_id", "neighbor_id", "rank"]])
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
-    )
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return _merge_topk(partials, k, exclude_self, dedup_neighbors=True)
 
 
 def lsh_topk(
@@ -240,21 +261,8 @@ def lsh_topk(
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.drop_duplicates("neighbor_id").sort_values(
-            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        out.append(g[["query_id", "neighbor_id", "rank"]])
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
-    )
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return _merge_topk(partials, k, exclude_self, dedup_neighbors=True)
 
 
 def kmeans_assign(

@@ -144,6 +144,56 @@ def test_contamination_probe_aggregate_is_deduped_distributed(ray_session):
     assert out["n_shared"].tolist() == [1]
 
 
+def test_contamination_empty_probe_set(ray_session):
+    """Regression (round-5 advice): an EMPTY probe hash set — explicit probe_ds
+    whose texts are all too short to yield a 5-gram, or a carve-out modulus no
+    doc_id hits — must yield an empty result, not IndexError from indexing an
+    empty sorted array with non-empty candidate positions."""
+    import ray.data
+
+    from sts_opentelemetry_collector_ray.stages.dedup_docs import contamination_check
+
+    train = ray.data.from_arrow(
+        pa.table({"doc_id": ["t1"], "text": ["alpha beta gamma delta epsilon zeta"]})
+    )
+    # explicit probe side with zero grams (every text < 5 words)
+    probe = ray.data.from_arrow(
+        pa.table({"doc_id": ["p1", "p2"], "text": ["too short", "also tiny"]})
+    )
+    out = contamination_check(train, probe_ds=probe).to_pandas()
+    assert len(out) == 0
+
+    # carve-out path: probe_mod so large no fnv1a32(doc_id) % mod == 0
+    out2 = contamination_check(train, probe_mod=10**9).to_pandas()
+    assert len(out2) == 0
+
+
+def test_fnv64_gram_oracle_is_byte_exact_non_ascii():
+    """The DuckDB `_FNV64_GRAM` oracle expression must replay FNV-1a64 over the
+    gram's UTF-8 BYTES — matching `fnv1a64_arrow` (which hashes raw Arrow
+    string buffers) for non-ASCII too, not just the ASCII fixtures (round-5
+    advice closed: codepoint-folding replaced by arithmetic UTF-8 expansion)."""
+    import duckdb
+    import numpy as np
+
+    from sts_opentelemetry_collector_ray.functions.hashing import fnv1a64_arrow
+    from sts_opentelemetry_collector_ray.pipelines.queries3 import _FNV64_GRAM
+
+    grams = [
+        "plain ascii five gram text",
+        "naïve café déjà vu résumé",
+        "日本語 の 五 グラム です",
+        "mixed 🚀 emoji and ünïcode",
+    ]
+    want = fnv1a64_arrow(pa.array(grams))
+    con = duckdb.connect()
+    got = [
+        int(con.execute(f"SELECT {_FNV64_GRAM} FROM (VALUES (?)) t(gram)", [g]).fetchone()[0])
+        for g in grams
+    ]
+    assert got == [int(x) for x in np.asarray(want, dtype=np.uint64)]
+
+
 def test_tfidf_top_terms(ray_session):
     import ray.data
     import os

@@ -241,6 +241,42 @@ def test_embedding_neardup_and_topk():
     assert len(inter) >= 4  # high recall on clustered data
 
 
+def test_ann_merge_is_block_count_independent():
+    """Round-5 ask #1: the top-k partial merge is a distributed bounded
+    `groupby(query_id)` reduce, so the result must be IDENTICAL whatever the
+    block count — 1 block (single local top-k) vs 16 blocks (16 partials per
+    query merged off-driver) — for all three ANN paths."""
+    from sts_opentelemetry_collector_ray.stages.similarity import (
+        ivf_topk, seeded_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((96, 12))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(96, dtype=np.int64), "embedding": [v.tolist() for v in base]}
+    )
+    qids = np.array([2, 17, 40])
+    cents = seeded_centroids(12, 4)
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        res = {
+            "brute": brute_force_topk(ds, base[qids], qids, k=5),
+            "lsh": lsh_topk(ds, base[qids], qids, k=5, num_planes=4),
+            "ivf": ivf_topk(ds, base[qids], qids, k=5, num_centroids=4,
+                            nprobe=2, centroids=cents),
+        }
+        if nblocks == 1:
+            want = res
+        else:
+            for name, got in res.items():
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True), want[name].reset_index(drop=True),
+                    check_dtype=True, obj=name,
+                )
+    # schema is stable even at k beyond corpus size per bucket
+    assert list(want["brute"].columns) == ["query_id", "neighbor_id", "rank"]
+
+
 def test_token_count_and_quality(docs):
     t = pa.table({"doc_id": docs["doc_id"], "text": docs["text"]})
     out = token_count_batch(t)
