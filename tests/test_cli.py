@@ -35,6 +35,82 @@ def _run(*args: str) -> dict:
     return json.loads(last)
 
 
+def test_sigkill_mid_run_resumes_identical(tmp_path):
+    """Round-5 ask #3 — crash-resume chaos: SIGKILL the flagship subprocess
+    after ≥1 partition manifest lands but before the run completes, resume via
+    re-submission, and assert the final output — routed rows AND aggregates —
+    is identical to an uninterrupted run. (The reference delegates durability
+    to Kafka offsets, kafka_settings_provider.go:60-74; per-partition manifests
+    are this repo's analogue.)"""
+    import glob
+    import time
+
+    from sts_opentelemetry_collector_ray.sources import generate_transcripts
+
+    corpus = str(tmp_path / "corpus")
+    generate_transcripts(corpus, n_turns=12000, seed=11, rows_per_file=1024)
+    out = str(tmp_path / "killed")
+    args = ["--input", corpus, "--out", out, "--partitions", "4",
+            "--partition-parallelism", "1"]
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/run_flagship.py", *args],
+        cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    manifest_glob = os.path.join(out, "_manifests", "*.json")
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            if glob.glob(manifest_glob):
+                break
+            if proc.poll() is not None:
+                pytest.fail("flagship subprocess exited before any manifest landed")
+            time.sleep(0.02)
+        else:
+            pytest.fail("no manifest within deadline")
+        proc.kill()  # SIGKILL — no cleanup, no atexit, mid-pipeline
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    landed = len(glob.glob(manifest_glob))
+    assert 1 <= landed < 4, f"kill raced the run: {landed} manifests at kill time"
+
+    # resume by re-submission: completes the remaining partitions only
+    r = _run(*args)
+    assert r["partitions_total"] == 4
+    assert r["partitions_skipped"] >= 1
+
+    # uninterrupted reference run on the same corpus
+    ref_out = str(tmp_path / "ref")
+    r_ref = _run("--input", corpus, "--out", ref_out, "--partitions", "4",
+                 "--partition-parallelism", "1")
+    assert r["routed_rows"] == r_ref["routed_rows"]
+    assert r["error_rows"] == r_ref["error_rows"]
+
+    import duckdb
+    import pandas as pd
+
+    def routed(d):
+        return duckdb.sql(
+            f"select * from read_parquet('{d}/part-*/routed/**/*.parquet', "
+            "hive_partitioning=1)"
+        ).df()
+
+    key = ["sink", "data_source", "conv_id", "turn_idx", "action"]
+    a = routed(out).sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = routed(ref_out).sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # aggregates identical too
+    agg_a = pd.read_parquet(os.path.join(out, "agg_counts", "agg_counts.parquet"))
+    agg_b = pd.read_parquet(os.path.join(ref_out, "agg_counts", "agg_counts.parquet"))
+    akey = [c for c in agg_a.columns if agg_a[c].dtype == object]
+    pd.testing.assert_frame_equal(
+        agg_a.sort_values(akey, kind="mergesort").reset_index(drop=True),
+        agg_b.sort_values(akey, kind="mergesort").reset_index(drop=True)[agg_a.columns],
+    )
+
+
 def test_cli_run_and_resume(cli_corpus, tmp_path):
     out = str(tmp_path / "cli_out")
     r1 = _run("--input", cli_corpus, "--out", out, "--partitions", "2")

@@ -369,6 +369,81 @@ def test_media_decoder_injection_seam(docs):
     assert {k: list(v) for k, v in got.items()} == want
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Round-5 ask #4 groundwork: the pure-stdlib PNG codec. The SAME pixels
+    encoded under every scanline filter (None/Sub/Up/Average/Paeth) produce
+    DIFFERENT byte streams that must all decode back to identical pixels —
+    exercising each reconstruction path — for grey, RGB and RGBA."""
+    from sts_opentelemetry_collector_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    images = [
+        rng.integers(0, 256, (11, 7), dtype=np.uint8),  # grey
+        rng.integers(0, 256, (9, 13, 3), dtype=np.uint8),  # RGB
+        rng.integers(0, 256, (6, 5, 4), dtype=np.uint8),  # RGBA
+    ]
+    for img in images:
+        streams = [encode_png(img, filter_type=f) for f in range(5)]
+        assert len({s for s in streams}) == 5  # genuinely distinct encodings
+        want = img if img.ndim == 3 else img[:, :, None]
+        for f, s in enumerate(streams):
+            got = decode_png(s)
+            assert got.shape == want.shape, f"filter {f}"
+            assert np.array_equal(got, want), f"filter {f}"
+
+    # malformed payloads fail loudly, never mis-decode
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    good = encode_png(images[1])
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(bad_depth))
+
+
+def test_png_decoder_seam_real_bytes(docs):
+    """Round-5 ask #4: the decoder_factory seam exercised END-TO-END on real
+    PNG bytes — MediaDecodeActor(strict=True) decodes actual zlib-compressed,
+    filtered scanlines through the package's pure-stdlib decoder, and the
+    features match a direct numpy computation over the decoded pixels."""
+    from sts_opentelemetry_collector_ray.functions.png import (
+        decode_png, encode_png, png_decoder_factory,
+    )
+
+    rng = np.random.default_rng(21)
+    ids = np.arange(6, dtype=np.int64)
+    pixels = [rng.integers(0, 256, (10, 8, 3), dtype=np.uint8) for _ in ids]
+    payloads = [encode_png(px, filter_type=int(i % 5)) for i, px in zip(ids, pixels)]
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+        }
+    )
+    # png_decoder_factory is PACKAGE-level → pickles by reference safely
+    dec = MediaDecodeActor(strict=True, decoder_factory=png_decoder_factory)(media)
+    feats = dec["features"].to_pylist()
+    for i, px in enumerate(pixels):
+        f = px.astype(np.float64) / 255.0
+        want = np.concatenate(
+            [np.pad(f.mean(axis=(0, 1)), (0, 1)), np.pad(f.std(axis=(0, 1)), (0, 1))]
+        )
+        assert np.allclose(feats[i], want)
+        # and the payload really is a PNG that round-trips
+        assert np.array_equal(decode_png(payloads[i]), px)
+    # through the Ray actor-pool stage (factory runs once per actor __init__)
+    ds = ray.data.from_arrow(media)
+    out = decode_stage(
+        ds, concurrency=2, strict=True, decoder_factory=png_decoder_factory
+    ).to_pandas()
+    assert len(out) == len(ids)
+    got = {m: list(f) for m, f in zip(out["media_id"], out["features"])}
+    assert got.keys() == set(ids.tolist())
+    for i in ids:
+        assert np.allclose(got[int(i)], feats[int(i)])
+
+
 def test_ivf_topk_recall():
     from sts_opentelemetry_collector_ray.stages.similarity import ivf_topk
 
