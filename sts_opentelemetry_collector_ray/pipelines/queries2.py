@@ -365,10 +365,23 @@ def q_docs_simhash_pairs(sf_dir: str):
 
 def q_docs_ngram_jaccard(sf_dir: str):
     """Exact all-pairs Jaccard — restricted to the first 200 docs (O(n²) baseline
-    operator; the LSH variants are the scale path)."""
+    operator; the LSH variants are the scale path). Returns a DataFrame (tiny by
+    construction): when NO pair clears the threshold — the sf0.1 slice — Ray
+    drops the schema of the all-empty Dataset (the CLAUDE.md empty-block
+    hazard), so the typed empty frame is restored here to keep the strict
+    dtype gate honest."""
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ray.data.from_arrow(t.slice(0, 200))
-    return ngram_jaccard_pairs(ds, threshold=0.5)
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+    return out
 
 
 # -- embeddings family ------------------------------------------------------

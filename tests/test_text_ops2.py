@@ -194,6 +194,33 @@ def test_fnv64_gram_oracle_is_byte_exact_non_ascii():
     assert got == [int(x) for x in np.asarray(want, dtype=np.uint64)]
 
 
+def test_ngram_jaccard_empty_result_keeps_schema(ray_session, tmp_path):
+    """Regression (found by the round-5 sf0.1 sweep): when NO doc pair clears
+    the Jaccard threshold, Ray drops the all-empty Dataset's schema — the
+    query wrapper must still return the typed (a:int64, b:int64,
+    jaccard:float64) frame so the strict dtype gate holds at any scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sts_opentelemetry_collector_ray.pipelines.queries2 import q_docs_ngram_jaccard
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "alpha beta gamma delta",
+                "epsilon zeta eta theta",
+                "iota kappa lambda mu",
+            ],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_docs_ngram_jaccard(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["a", "b", "jaccard"]
+    assert out["a"].dtype == np.int64 and out["jaccard"].dtype == np.float64
+
+
 def test_tfidf_top_terms(ray_session):
     import ray.data
     import os
