@@ -127,7 +127,10 @@ def q_events_interpolate_gaps(sf_dir: str):
         out_fill.extend(fill.tolist())
     return pd.DataFrame(
         {
-            "event_type": out_et,
+            # dtype=object explicitly: an empty list would otherwise build a
+            # float64 column and break the strict dtype gate when the corpus
+            # has no interior gaps (the sf0.1 case)
+            "event_type": pd.Series(out_et, dtype=object),
             "hr": np.array(out_hr, np.int64),
             "filled_micro": np.array(out_fill, np.int64),
         }

@@ -216,8 +216,16 @@ def q_docs_lsh_eval(sf_dir: str):
     exact = (
         ngram_jaccard_pairs(ray.data.from_arrow(t), threshold=0.5).to_pandas()
     )
-    lp = set(zip(lsh["a"].astype(int), lsh["b"].astype(int)))
-    ep = set(zip(exact["a"].astype(int), exact["b"].astype(int)))
+    # an all-empty pair Dataset loses its schema through Ray (CLAUDE.md
+    # empty-block hazard — at sf0.1 the 200-doc slice has no ≥0.5 pair), so
+    # guard the column access, not just emptiness
+    def _pairs(df: pd.DataFrame) -> set:
+        if "a" not in df.columns:
+            return set()
+        return set(zip(df["a"].astype(int), df["b"].astype(int)))
+
+    lp = _pairs(lsh)
+    ep = _pairs(exact)
     common = lp & ep
     nl, ne, nc = len(lp), len(ep), len(common)
     return pd.DataFrame(

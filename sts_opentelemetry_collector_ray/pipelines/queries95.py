@@ -67,12 +67,24 @@ def q_events_heavy_users(sf_dir: str):
             }
         )
 
-    return (
+    out = (
         ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # bounded: < K heavy hitters by the share property
     )
+    if "user_id" not in out.columns:
+        # no user clears total/K (the sf0.1 corpus): Ray drops the schema of
+        # an all-empty Dataset — restore the typed frame for the strict gate
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "cnt": pd.Series(dtype=np.int64),
+                "share_micro": pd.Series(dtype=np.int64),
+            }
+        )
+    return out
 
 
 ORACLES95["events_heavy_users"] = f"""

@@ -86,3 +86,70 @@ def test_entry_smoke():
 
     assert isinstance(ds, ray.data.Dataset)
     assert ds.count() > 0
+
+
+def test_empty_at_scale_queries_keep_typed_schema(tmp_path):
+    """Regression for the round-5 sf0.1 smoke findings: queries whose result is
+    legitimately EMPTY on a larger corpus must still return their typed frame —
+    Ray drops the schema of an all-empty Dataset (even typed empty pandas
+    blocks), so the query wrappers restore it explicitly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sts_opentelemetry_collector_ray.pipelines.queries95 import q_events_heavy_users
+    from sts_opentelemetry_collector_ray.pipelines.queries67 import (
+        q_events_interpolate_gaps,
+    )
+
+    # 200 users × 1 event each → nobody clears total/K (K=140); one event
+    # per hour, no interior zero-hours → no gaps to fill
+    n = 200
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 3_600_000_000 for i in range(n)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    heavy = q_events_heavy_users(str(tmp_path))
+    assert len(heavy) == 0
+    assert list(heavy.columns) == ["user_id", "cnt", "share_micro"]
+    assert all(heavy[c].dtype == np.int64 for c in heavy.columns)
+
+    gaps = q_events_interpolate_gaps(str(tmp_path))
+    assert len(gaps) == 0
+    assert list(gaps.columns) == ["event_type", "hr", "filled_micro"]
+    assert gaps["event_type"].dtype == object
+    assert gaps["hr"].dtype == np.int64
+
+
+def test_lsh_eval_empty_pairs(tmp_path):
+    """docs_lsh_eval with a corpus yielding zero LSH and zero exact pairs must
+    return the 1-row all-zero metrics frame, not KeyError on the lost schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sts_opentelemetry_collector_ray.pipelines.queries87 import q_docs_lsh_eval
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "zeta eta theta iota kappa",
+                "lambda mu nu xi omicron",
+            ],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_docs_lsh_eval(str(tmp_path))
+    assert len(out) == 1
+    assert out["n_lsh_pairs"].iloc[0] == 0
+    assert out["n_exact_pairs"].iloc[0] == 0
+    assert out["precision_micro"].iloc[0] == 0
